@@ -1,0 +1,25 @@
+from coarse3d_tpu.configs.config import (
+    AugmentConfig,
+    ContrastConfig,
+    DataConfig,
+    ExperimentConfig,
+    KnnConfig,
+    ModelConfig,
+    SensorSpec,
+    TrainConfig,
+    load_config,
+    preset,
+)
+
+__all__ = [
+    "AugmentConfig",
+    "ContrastConfig",
+    "DataConfig",
+    "ExperimentConfig",
+    "KnnConfig",
+    "ModelConfig",
+    "SensorSpec",
+    "TrainConfig",
+    "load_config",
+    "preset",
+]

@@ -1,0 +1,229 @@
+"""Spherical range-image projection — host (NumPy) and device (JAX) paths.
+
+Behavioral model: /root/reference/pc_processor/dataset/preprocess/projection.py
+(RangeProjection.doProjection, :43-115): depth = ||xyz||2, yaw = -atan2(y, x),
+pitch = asin(z / depth); normalize by FOV, floor + clamp to W x H integer
+pixel coords; the *nearest* point wins each pixel (the reference sorts by
+depth descending so the smallest depth writes last, :92-99); per-point
+(px, py, depth) are kept for unprojection; proj_mask = proj_idx > 0 (an
+off-by-one that drops point 0 — SURVEY §5.1 defect #4 — reproduced behind
+``mask_excludes_point0``).
+
+TPU design: the device path replaces sort-then-scatter with two scatter-min
+passes (depth, then winner point-index), which XLA lowers without any O(N log N)
+sort and without host round-trips; padded points are dropped via out-of-bounds
+indices with ``mode="drop"``. Tie-break on exactly-equal depths is the lowest
+point index (deterministic; the reference's np.argsort quicksort tie order is
+unspecified).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coarse3d_tpu.configs.config import SensorSpec
+
+
+def _fov_params(sensor: SensorSpec) -> tuple[float, float, float, float]:
+    fov_down = np.radians(sensor.fov_down)
+    fov_vert = np.radians(abs(sensor.fov_up)) + abs(fov_down)
+    fov_left = np.radians(sensor.fov_left)
+    fov_hori = abs(fov_left) + np.radians(abs(sensor.fov_right))
+    return float(fov_down), float(fov_vert), float(fov_left), float(fov_hori)
+
+
+# ---------------------------------------------------------------------------
+# Shared coordinate math (works for np and jnp arrays).
+# ---------------------------------------------------------------------------
+
+def pixel_coords(xyz, depth, sensor: SensorSpec, xp=np):
+    """Per-point integer pixel coords (px, py) for a spherical projection."""
+    fov_down, fov_vert, fov_left, fov_hori = _fov_params(sensor)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    yaw = -xp.arctan2(y, x)
+    pitch = xp.arcsin(xp.clip(z / xp.maximum(depth, 1e-12), -1.0, 1.0))
+    proj_x = (yaw + abs(fov_left)) / fov_hori * sensor.proj_w
+    proj_y = (1.0 - (pitch + abs(fov_down)) / fov_vert) * sensor.proj_h
+    px = xp.clip(xp.floor(proj_x), 0, sensor.proj_w - 1).astype(xp.int32)
+    py = xp.clip(xp.floor(proj_y), 0, sensor.proj_h - 1).astype(xp.int32)
+    return px, py
+
+
+# ---------------------------------------------------------------------------
+# Host path (NumPy) — used by the data pipeline workers; matches the
+# reference's ordering semantics exactly (descending-depth last-writer-wins).
+# ---------------------------------------------------------------------------
+
+def range_project_np(
+    points: np.ndarray,
+    sensor: SensorSpec,
+    depth: np.ndarray | None = None,
+    mask_excludes_point0: bool = True,
+) -> dict[str, np.ndarray]:
+    """Project an (N, C>=3) cloud to an (H, W) range image, nearest wins.
+
+    ``depth`` may be overridden (the loaders' weak-label re-projection trick
+    passes a doctored depth, wss_sem_kitti_loader.py:134-147).
+    """
+    if depth is None:
+        depth = np.linalg.norm(points[:, :3], 2, axis=1)
+    if sensor.max_depth > 0:
+        depth = np.minimum(depth, sensor.max_depth)
+    px, py = pixel_coords(points[:, :3], depth, sensor, xp=np)
+
+    h, w = sensor.proj_h, sensor.proj_w
+    order = np.argsort(depth, kind="stable")[::-1]
+
+    proj_range = np.full((h, w), -1.0, dtype=np.float32)
+    proj_range[py[order], px[order]] = depth[order]
+
+    proj_points = np.full((h, w, points.shape[1]), -1.0, dtype=np.float32)
+    proj_points[py[order], px[order]] = points[order]
+
+    proj_idx = np.full((h, w), -1, dtype=np.int32)
+    proj_idx[py[order], px[order]] = np.arange(len(points))[order]
+
+    if mask_excludes_point0:
+        proj_mask = (proj_idx > 0).astype(np.int32)
+    else:
+        proj_mask = (proj_idx >= 0).astype(np.int32)
+
+    return {
+        "proj_points": proj_points,
+        "proj_range": proj_range,
+        "proj_idx": proj_idx,
+        "proj_mask": proj_mask,
+        "px": px,
+        "py": py,
+        "depth": depth.astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Device path (JAX) — fixed shapes, scatter-min, padded points dropped.
+# ---------------------------------------------------------------------------
+
+_BIG = np.float32(3.0e38)
+
+
+@functools.partial(jax.jit, static_argnames=("sensor", "mask_excludes_point0"))
+def range_project(
+    points: jax.Array,
+    valid: jax.Array,
+    sensor: SensorSpec,
+    mask_excludes_point0: bool = False,
+) -> dict[str, jax.Array]:
+    """Device range projection of a padded (P, C>=3) cloud.
+
+    Args:
+      points: (P, C) float32, first 3 channels xyz; padded rows arbitrary.
+      valid: (P,) bool, False on padding.
+      sensor: static projection geometry.
+      mask_excludes_point0: reproduce the reference's `proj_idx > 0` mask bug.
+
+    Returns dict with proj_points (H, W, C) (-1 fill), proj_range (H, W)
+    (-1 fill), proj_idx (H, W) int32 (-1 fill), proj_mask (H, W) int32, and
+    per-point px / py / depth for unprojection.
+    """
+    p = points.shape[0]
+    h, w = sensor.proj_h, sensor.proj_w
+    xyz = points[:, :3].astype(jnp.float32)
+    depth = jnp.linalg.norm(xyz, axis=-1)
+    if sensor.max_depth > 0:
+        depth = jnp.minimum(depth, sensor.max_depth)
+    px, py = pixel_coords(xyz, depth, sensor, xp=jnp)
+
+    flat = py * w + px
+    # Out-of-bounds index on invalid rows -> scatter drops them.
+    flat = jnp.where(valid, flat, h * w)
+
+    # Pass 1: per-pixel minimum depth.
+    min_depth = jnp.full((h * w,), _BIG, jnp.float32).at[flat].min(
+        depth, mode="drop")
+
+    # Pass 2: among points matching the winning depth, keep the lowest index.
+    point_ids = jnp.arange(p, dtype=jnp.int32)
+    is_winner = valid & (depth == min_depth[jnp.clip(flat, 0, h * w - 1)])
+    cand = jnp.where(is_winner, point_ids, p)
+    win_idx = jnp.full((h * w,), p, jnp.int32).at[flat].min(cand, mode="drop")
+
+    hit = win_idx < p
+    proj_idx = jnp.where(hit, win_idx, -1).reshape(h, w)
+    proj_range = jnp.where(hit, min_depth, -1.0).reshape(h, w)
+    gather_idx = jnp.clip(win_idx, 0, p - 1)
+    proj_points = jnp.where(
+        hit[:, None], points[gather_idx], -1.0).reshape(h, w, points.shape[1])
+
+    if mask_excludes_point0:
+        proj_mask = (proj_idx > 0).astype(jnp.int32)
+    else:
+        proj_mask = (proj_idx >= 0).astype(jnp.int32)
+
+    return {
+        "proj_points": proj_points,
+        "proj_range": proj_range,
+        "proj_idx": proj_idx,
+        "proj_mask": proj_mask,
+        "px": px,
+        "py": py,
+        "depth": depth,
+    }
+
+
+def scatter_labels_np(
+    proj_idx: np.ndarray, point_labels: np.ndarray
+) -> np.ndarray:
+    """Scatter per-point labels to the image via the projection index map.
+
+    Mirrors wss_sem_kitti_loader.py:124-132: empty pixels get label 0.
+    """
+    out = np.zeros(proj_idx.shape, dtype=np.int32)
+    hit = proj_idx > -1
+    out[hit] = point_labels[proj_idx[hit]]
+    return out
+
+
+def scatter_labels(proj_idx: jax.Array, point_labels: jax.Array) -> jax.Array:
+    """Device variant of :func:`scatter_labels_np` (gather formulation)."""
+    hit = proj_idx > -1
+    safe = jnp.clip(proj_idx, 0, point_labels.shape[0] - 1)
+    return jnp.where(hit, point_labels[safe], 0).astype(jnp.int32)
+
+
+def build_range_features(
+    proj_points: jax.Array | np.ndarray,
+    proj_range: jax.Array | np.ndarray,
+    xp=np,
+):
+    """Stack the 5-channel (range, x, y, z, masked-intensity) feature image.
+
+    HWC layout (TPU-native; the reference builds CHW,
+    wss_sem_kitti_loader.py:159-172). Intensity -1 (empty pixel fill) is
+    zeroed, matching `ne(-1) * intensity`.
+    """
+    intensity = proj_points[..., 3]
+    intensity = xp.where(intensity == -1.0, 0.0, intensity)
+    return xp.concatenate(
+        [
+            proj_range[..., None],
+            proj_points[..., :3],
+            intensity[..., None],
+        ],
+        axis=-1,
+    ).astype(xp.float32)
+
+
+def normalize_features(
+    features,
+    eval_mask,
+    sensor: SensorSpec,
+    xp=jnp,
+):
+    """(x - mean) / std, zeroed outside the eval mask (trainer.py:599-609)."""
+    mean = xp.asarray(sensor.img_mean, dtype=xp.float32)
+    std = xp.asarray(sensor.img_stds, dtype=xp.float32)
+    return (features - mean) / std * eval_mask[..., None].astype(xp.float32)

@@ -1,0 +1,23 @@
+"""Test config: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding logic is validated on fake CPU devices
+(`xla_force_host_platform_device_count`) per SURVEY §4; real-TPU runs happen
+via bench.py and the driver's dryrun.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng() -> np.random.Generator:
+    return np.random.default_rng(1234)
