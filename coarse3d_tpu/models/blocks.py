@@ -1,0 +1,161 @@
+"""Shared conv building blocks (Flax, NHWC, bf16-compute/fp32-params).
+
+Behavioral model: the SalsaNext block zoo in
+/root/reference/pc_processor/models/salsanext_proto.py —
+ResContextBlock (:38-65), ResBlock (:68-148), UpBlock (:151-212) — re-expressed
+channel-last for TPU (lane dim = channels) with LeakyReLU(0.01) and
+BatchNorm(eps 1e-5, ema momentum 0.9) matching torch defaults. Cross-replica
+("Sync") batch-norm semantics come for free: under pjit the batch axis is
+globally sharded, so the batch mean/var reductions are global collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+from einops import rearrange
+
+Dtype = Any
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, H, W, C*r*r) -> (B, H*r, W*r, C), torch PixelShuffle channel order."""
+    return rearrange(x, "b h w (c i j) -> b (h i) (w j) c", i=r, j=r)
+
+
+class ConvActBN(nn.Module):
+    """conv -> leaky_relu -> batchnorm, the reference's recurring triplet."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    dilation: tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features, self.kernel, kernel_dilation=self.dilation,
+            padding=self.padding, dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype)(x)
+        return x
+
+
+class ResContextBlock(nn.Module):
+    """1x1 shortcut + two 3x3 convs (2nd dilated), residual sum."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        shortcut = nn.leaky_relu(shortcut, 0.01)
+        res = ConvActBN(self.features, (3, 3), dtype=self.dtype)(shortcut, train)
+        res = ConvActBN(
+            self.features, (3, 3), dilation=(2, 2), dtype=self.dtype)(res, train)
+        return shortcut + res
+
+
+class ResBlock(nn.Module):
+    """Three stacked dilated convs, concat-fuse, residual; optional pool.
+
+    Returns (pooled, pre_pool_skip) when pooling, else the block output —
+    matching ResBlock.forward (salsanext_proto.py:113-148).
+    """
+
+    features: int
+    dropout_rate: float = 0.2
+    pooling: bool = True
+    drop_out: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        shortcut = nn.leaky_relu(shortcut, 0.01)
+
+        res1 = ConvActBN(self.features, (3, 3), dtype=self.dtype)(x, train)
+        res2 = ConvActBN(
+            self.features, (3, 3), dilation=(2, 2), dtype=self.dtype)(res1, train)
+        # 2x2 kernel, dilation 2, pad 1 keeps spatial size (effective 3x3)
+        res3 = ConvActBN(
+            self.features, (2, 2), dilation=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=self.dtype)(res2, train)
+
+        concat = jnp.concatenate([res1, res2, res3], axis=-1)
+        res = ConvActBN(self.features, (1, 1), dtype=self.dtype)(concat, train)
+        res = shortcut + res
+
+        out = res
+        if self.drop_out:
+            out = nn.Dropout(
+                self.dropout_rate, broadcast_dims=(1, 2),
+                deterministic=not train)(out)
+        if self.pooling:
+            pooled = nn.avg_pool(
+                out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                count_include_pad=True)
+            return pooled, res
+        return out
+
+
+class UpBlock(nn.Module):
+    """PixelShuffle x2 upsample, skip concat, three convs, concat-fuse."""
+
+    features: int
+    dropout_rate: float = 0.2
+    drop_out: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        up = pixel_shuffle(x, 2)
+        if self.drop_out:
+            up = nn.Dropout(
+                self.dropout_rate, broadcast_dims=(1, 2),
+                deterministic=not train)(up)
+        up = jnp.concatenate([up, skip], axis=-1)
+        if self.drop_out:
+            up = nn.Dropout(
+                self.dropout_rate, broadcast_dims=(1, 2),
+                deterministic=not train)(up)
+
+        e1 = ConvActBN(self.features, (3, 3), dtype=self.dtype)(up, train)
+        e2 = ConvActBN(
+            self.features, (3, 3), dilation=(2, 2), dtype=self.dtype)(e1, train)
+        e3 = ConvActBN(
+            self.features, (2, 2), dilation=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=self.dtype)(e2, train)
+
+        concat = jnp.concatenate([e1, e2, e3], axis=-1)
+        out = ConvActBN(self.features, (1, 1), dtype=self.dtype)(concat, train)
+        if self.drop_out:
+            out = nn.Dropout(
+                self.dropout_rate, broadcast_dims=(1, 2),
+                deterministic=not train)(out)
+        return out
+
+
+class ProjectionHead(nn.Module):
+    """Contrastive embedding head (reference ProjectionV1, projector.py:11-27):
+    1x1 conv -> BN -> LeakyReLU -> 1x1 conv. Computed in fp32 — the embedding
+    feeds cosine similarities where bf16 hurts."""
+
+    proj_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = x.astype(jnp.float32)
+        feats = x.shape[-1]
+        x = nn.Conv(feats, (1, 1), dtype=jnp.float32)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(self.proj_dim, (1, 1), dtype=jnp.float32)(x)
+        return x

@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize (TPU tunnel) force-registers jax_platforms
+# "axon,cpu" in every process, overriding the env var — without this
+# explicit update, "CPU" tests silently run on the tunneled TPU with
+# remote compilation (~50s per trivial test).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
