@@ -51,6 +51,50 @@ def synthetic_scan(
     return {"points": points, "labels": labels, "weak_labels": weak}
 
 
+def synthetic_batch(
+    rng: np.random.Generator,
+    cfg,
+    batch_size: int,
+    n_points: int = 20000,
+    weak_ratio: float = 0.002,
+) -> dict[str, np.ndarray]:
+    """Device-batch dict exactly as the data pipeline emits it.
+
+    Keys: features (B,H,W,5) raw feature image, train_label / eval_label
+    (B,H,W) int32, point_px / point_py (B,P) int32, point_label (B,P) int32,
+    point_weak_label (B,P) int32, point_valid (B,P) bool.
+    """
+    from coarse3d_tpu.ops import projection
+
+    sensor = cfg.sensor
+    max_points = cfg.data.max_points
+    out = {k: [] for k in (
+        "features", "train_label", "eval_label", "point_px", "point_py",
+        "point_label", "point_weak_label", "point_valid")}
+    for _ in range(batch_size):
+        scan = synthetic_scan(
+            rng, n_points, cfg.data.n_classes, sensor, weak_ratio)
+        proj = projection.range_project_np(scan["points"], sensor)
+        feats = projection.build_range_features(
+            proj["proj_points"], proj["proj_range"], xp=np)
+        out["features"].append(feats)
+        out["eval_label"].append(
+            projection.scatter_labels_np(proj["proj_idx"], scan["labels"]))
+        out["train_label"].append(
+            projection.scatter_labels_np(
+                proj["proj_idx"], scan["weak_labels"]))
+        px, pv = pad_points(proj["px"], max_points)
+        py, _ = pad_points(proj["py"], max_points)
+        lbl, _ = pad_points(scan["labels"], max_points)
+        wlbl, _ = pad_points(scan["weak_labels"], max_points)
+        out["point_px"].append(px)
+        out["point_py"].append(py)
+        out["point_label"].append(lbl)
+        out["point_weak_label"].append(wlbl)
+        out["point_valid"].append(pv)
+    return {k: np.stack(v) for k, v in out.items()}
+
+
 def pad_points(
     arr: np.ndarray, max_points: int, fill=0
 ) -> tuple[np.ndarray, np.ndarray]:

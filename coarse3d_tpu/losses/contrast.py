@@ -1,0 +1,124 @@
+"""Prototype-anchor InfoNCE with entropy-weighted anchor sampling.
+
+Behavioral model: /root/reference/pc_processor/loss/contrast_pixel_loss.py
+(`ContrastMEMLoss`): labels outside the keep mask -> ignore; per-pixel
+entropy from the softmax output is *squared* before the exp weight
+(:47-49 — deliberately preserved; the pseudo-label selection pass does NOT
+square, SURVEY §5.1 defect #9); for every (image, class-present) pair,
+`num_anchor` pixels are multinomial-sampled with replacement ∝ weight
+(:77-129); the contrast set is every sub-prototype of every non-ignore class
+(:131-149); cosine-sim InfoNCE at T with positives = same-class prototypes,
+in the decoupled form denominator exp(pair) + Σ exp(negatives) (:151-195).
+
+TPU design: the per-(image, class) Python loops become a (B, C, A) batched
+categorical draw + gather; absent classes are masked rows, not missing rows.
+The anchor-mean is over valid anchors only, matching the reference's
+dynamically-sized anchor tensor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from coarse3d_tpu.configs.config import ContrastConfig
+from coarse3d_tpu.models.prototypes import l2_normalize
+
+
+def sample_anchors(
+    embedding: jnp.ndarray,
+    probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    rng: jax.Array,
+    num_anchor: int,
+    ignore_cls: int = 0,
+):
+    """Entropy-weighted with-replacement anchor sampling.
+
+    Args:
+      embedding: (B, H, W, D).
+      probs: (B, H, W, C) softmax output (entropy source).
+      labels: (B, H, W) int32 pseudo labels (already keep-masked).
+      rng: PRNG key.
+      num_anchor: anchors per (image, present class).
+
+    Returns:
+      anchors: (B, C, A, D) features.
+      anchor_class: (C,) class id per row (shared across images).
+      valid: (B, C) presence mask (class appears in the image, != ignore).
+    """
+    b, h, w, d = embedding.shape
+    c = probs.shape[-1]
+    n = h * w
+    feat = embedding.reshape(b, n, d)
+    lbl = labels.reshape(b, n)
+
+    p = probs.reshape(b, n, c).astype(jnp.float32)
+    entropy = -jnp.sum(p * jnp.log(p + 1e-10), axis=-1)  # (B, N)
+    log_weight = -(entropy * entropy)  # log exp(-entropy^2)
+
+    cls_ids = jnp.arange(c, dtype=jnp.int32)
+    onehot = lbl[:, None, :] == cls_ids[None, :, None]      # (B, C, N)
+    valid = onehot.any(axis=-1) & (cls_ids != ignore_cls)[None, :]
+
+    logits = jnp.where(onehot, log_weight[:, None, :], -jnp.inf)  # (B, C, N)
+    # guard fully-masked rows (absent classes) against NaN sampling
+    logits = jnp.where(valid[..., None], logits, 0.0)
+    draws = jax.random.categorical(
+        rng, logits[:, :, None, :], axis=-1,
+        shape=(b, c, num_anchor))                            # (B, C, A)
+
+    anchors = jnp.take_along_axis(
+        feat[:, None, :, :], draws[..., None], axis=2)       # (B, C, A, D)
+    return anchors, cls_ids, valid
+
+
+def contrast_mem_loss(
+    embedding: jnp.ndarray,
+    probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    keep_mask: jnp.ndarray,
+    prototypes: jnp.ndarray,
+    rng: jax.Array,
+    cfg: ContrastConfig,
+    ignore_cls: int = 0,
+) -> jnp.ndarray:
+    """Full ContrastMEMLoss: sample anchors, contrast against the memory."""
+    c, k, d = prototypes.shape
+    labels = jnp.where(keep_mask, labels, ignore_cls)
+
+    anchors, cls_ids, valid = sample_anchors(
+        embedding, probs, labels, rng, cfg.num_anchor, ignore_cls)
+    b = anchors.shape[0]
+
+    # contrast set: all sub-prototypes of all non-ignore classes
+    # (reference _expand_queue permutes within class — a no-op for the loss)
+    queue = l2_normalize(prototypes.astype(jnp.float32))     # (C, K, D)
+    queue_feat = queue.reshape(c * k, d)
+    queue_cls = jnp.repeat(jnp.arange(c, dtype=jnp.int32), k)
+    queue_valid = queue_cls != ignore_cls                    # ((C*K),)
+
+    anchor_feat = l2_normalize(anchors.reshape(-1, d))       # (R, D)
+    anchor_cls = jnp.broadcast_to(
+        cls_ids[None, :, None], (b, c, cfg.num_anchor)).reshape(-1)
+    anchor_valid = jnp.broadcast_to(
+        valid[..., None], (b, c, cfg.num_anchor)).reshape(-1)
+
+    sims = anchor_feat @ queue_feat.T / cfg.temperature      # (R, CK)
+    sims = jnp.where(queue_valid[None, :], sims, -jnp.inf)
+    sims = sims - jax.lax.stop_gradient(sims.max(axis=1, keepdims=True))
+
+    pos_mask = (anchor_cls[:, None] == queue_cls[None, :]) & queue_valid
+    exp_sims = jnp.where(queue_valid[None, :], jnp.exp(sims), 0.0)
+    neg_sum = (exp_sims * (~pos_mask)).sum(axis=1, keepdims=True)
+    log_prob = sims - jnp.log(exp_sims + neg_sum + 1e-6)
+
+    pos_count = jnp.maximum(pos_mask.sum(axis=1), 1)
+    mean_log_prob_pos = (
+        jnp.where(pos_mask, log_prob, 0.0).sum(axis=1) / pos_count)
+
+    per_anchor = -(cfg.temperature / cfg.base_temperature) * mean_log_prob_pos
+    av = anchor_valid.astype(jnp.float32)
+    denom = av.sum()
+    return jnp.where(denom > 0, (per_anchor * av).sum() /
+                     jnp.maximum(denom, 1.0), 0.0)

@@ -1,0 +1,113 @@
+"""Class-prototype memory: similarity, Sinkhorn clustering, EMA update.
+
+Behavioral model: salsanext_proto.py:337-402 (`prototype_learning`, identical
+copies in rangenet_proto.py:460-567 and squeezesegv3_Proto.py:253-351):
+per class c — Sinkhorn-cluster the class's pixels over `sub_proto_size`
+sub-prototypes; keep only pixels whose nearest-prototype class prediction
+agrees with the label; masked one-hot^T @ feats gives new sub-prototype
+means (L2-normalized); EMA-update occupied rows (momentum 0.999); L2-renorm
+the whole memory. The reference's feat_norm/mask_norm LayerNorms (:327-328)
+carry learnable affines that never receive gradients (contrast_logits are
+unused by the shipped trainer), so they are plain parameter-free LayerNorms
+here.
+
+TPU design: the per-class Python loop with dynamic `label == c` subsets
+becomes one stable-sort class gather (fixed budget per class) + a vmapped
+masked Sinkhorn — a single fused XLA program. Under pjit the embedding batch
+is sharded on `data`, so the one-hot^T @ feats contraction and the EMA update
+reduce globally — a *sharper* equivalent of the reference's per-rank-update +
+all_reduce-mean (salsanext_proto.py:397-400); set parity mode via
+per-replica shard_map if bitwise replication is ever needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from coarse3d_tpu.configs.config import ContrastConfig
+from coarse3d_tpu.ops.gather import gather_class_indices
+from coarse3d_tpu.ops.sinkhorn import masked_sinkhorn
+
+
+def _layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+
+
+def prototype_similarity(
+    embedding: jnp.ndarray, prototypes: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cosine similarity of every pixel to every sub-prototype.
+
+    Args:
+      embedding: (..., D) projector output.
+      prototypes: (C, K, D) memory.
+
+    Returns (feat (N, D) normalized, sim (N, C, K), nearest (N, C) after the
+    parameter-free class LayerNorm — reference :497-510).
+    """
+    d = embedding.shape[-1]
+    feat = embedding.reshape(-1, d).astype(jnp.float32)
+    feat = l2_normalize(_layer_norm(feat))
+    protos = l2_normalize(prototypes.astype(jnp.float32))
+    sim = jnp.einsum("nd,ckd->nck", feat, protos)
+    nearest = _layer_norm(jnp.max(sim, axis=-1))  # mask_norm analog
+    return feat, sim, nearest
+
+
+def update_prototypes(
+    prototypes: jnp.ndarray,
+    embedding: jnp.ndarray,
+    label: jnp.ndarray,
+    label_mask: jnp.ndarray,
+    rng: jax.Array,
+    cfg: ContrastConfig,
+    ignore_cls: int = 0,
+) -> jnp.ndarray:
+    """One EMA step of the prototype memory. Pure; call under stop_gradient.
+
+    Args:
+      prototypes: (C, K, D).
+      embedding: (B, H, W, D) projector output.
+      label: (B, H, W) int32 training labels (weak).
+      label_mask: (B, H, W) bool — which labels supervise (wss mask).
+      rng: key for the Sinkhorn Gumbel sample.
+      cfg: contrast config (momentum, budget).
+    """
+    c, k, d = prototypes.shape
+    feat, sim, nearest = prototype_similarity(embedding, prototypes)
+    protos = l2_normalize(prototypes.astype(jnp.float32))
+
+    flat_label = label.reshape(-1).astype(jnp.int32)
+    flat_valid = label_mask.reshape(-1) & (flat_label != ignore_cls)
+    pred = jnp.argmax(nearest, axis=-1).astype(jnp.int32)
+
+    idx, valid = gather_class_indices(
+        flat_label, flat_valid, c, cfg.max_pixels_per_class)  # (C, M)
+
+    # own-class similarity block per class: sim[idx[c], c, :]
+    sim_c = sim[idx, jnp.arange(c)[:, None], :]            # (C, M, K)
+    rngs = jax.random.split(rng, c)
+    onehot, _ = jax.vmap(masked_sinkhorn)(sim_c, valid, rngs)  # (C, M, K)
+
+    agree = (pred[idx] == jnp.arange(c)[:, None]) & valid  # (C, M)
+    m_q = onehot * agree[..., None].astype(jnp.float32)
+
+    feat_c = feat[idx]                                      # (C, M, D)
+    f = jnp.einsum("cmk,cmd->ckd", m_q, feat_c)             # (C, K, D)
+    n = m_q.sum(axis=1)                                     # (C, K)
+
+    f = l2_normalize(f)
+    occupied = (n > 0) & (jnp.arange(c)[:, None] != ignore_cls)
+    new = jnp.where(
+        occupied[..., None],
+        cfg.proto_momentum * protos + (1.0 - cfg.proto_momentum) * f,
+        protos,
+    )
+    return l2_normalize(new)

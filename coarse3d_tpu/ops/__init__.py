@@ -1,3 +1,3 @@
-from coarse3d_tpu.ops import projection
+from coarse3d_tpu.ops import gather, projection, resize, sinkhorn
 
-__all__ = ["projection"]
+__all__ = ["gather", "projection", "resize", "sinkhorn"]

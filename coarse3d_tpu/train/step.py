@@ -1,0 +1,151 @@
+"""Jitted train / eval steps.
+
+Behavioral model: the reference hot loop (trainer.py:572-747): normalize
+features by sensor stats gated on the eval mask, forward, focal + Lovász on
+weak pixels, (from the contrast warmup epoch) entropy-driven pseudo-label
+selection + prototype-anchor InfoNCE + Sinkhorn/EMA prototype update,
+backward + AdamW + per-iter LR step, then 3D unprojected confusion-matrix
+metrics.
+
+TPU design: one pure function per mode. Everything the reference does across
+Python objects and `.item()` syncs is fused into a single XLA program; under
+pjit with a batch-sharded mesh the BN statistics, gradient mean, prototype
+update and confusion matrix all reduce globally with no explicit collectives
+in user code. The contrast path is a separate specialization (static flag) so
+warmup epochs don't pay its FLOPs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from coarse3d_tpu.configs.config import ExperimentConfig
+from coarse3d_tpu.eval.unproject import unproject_image
+from coarse3d_tpu.losses import focal_softmax_loss, lovasz_softmax_loss
+from coarse3d_tpu.losses.contrast import contrast_mem_loss
+from coarse3d_tpu.losses.entropy_selection import entropy_based_selection
+from coarse3d_tpu.metrics import confusion_matrix
+from coarse3d_tpu.models.prototypes import update_prototypes
+from coarse3d_tpu.ops.projection import normalize_features
+from coarse3d_tpu.train.state import TrainState
+
+
+def _prepare_inputs(batch: dict[str, jnp.ndarray], cfg: ExperimentConfig):
+    train_label = batch["train_label"].astype(jnp.int32)
+    eval_label = batch["eval_label"].astype(jnp.int32)
+    wss_mask = train_label > 0
+    eval_mask = eval_label > 0
+    features = normalize_features(
+        batch["features"], eval_mask, cfg.sensor, xp=jnp)
+    return features, train_label, eval_label, wss_mask, eval_mask
+
+
+def _metrics_3d(probs, batch, cfg: ExperimentConfig):
+    """Unproject the 2D argmax to points and build the confusion update."""
+    argmax_2d = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    point_pred = unproject_image(argmax_2d, batch["point_px"],
+                                 batch["point_py"])
+    return confusion_matrix(
+        point_pred, batch["point_label"], cfg.data.n_classes,
+        valid=batch["point_valid"])
+
+
+def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool):
+    """Build the jittable train step. `with_contrast` is the static analog of
+    the reference's `epoch >= contrast_warmup` gate (trainer.py:532-541)."""
+    alpha = jnp.asarray(alpha, jnp.float32)
+
+    def train_step(state: TrainState, batch: dict[str, Any],
+                   select_ratio: jnp.ndarray | float = 0.0):
+        (features, train_label, eval_label, wss_mask,
+         eval_mask) = _prepare_inputs(batch, cfg)
+        rng, dropout_rng, select_rng, anchor_rng, proto_rng = (
+            jax.random.split(state.rng, 5))
+
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                features, train=True, return_feat=with_contrast,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+            probs = out["probs"]
+
+            losses = {}
+            total = 0.0
+            if cfg.train.loss_w_ce_2d > 0:
+                losses["focal"] = focal_softmax_loss(
+                    probs, train_label, alpha, wss_mask,
+                    gamma=cfg.train.focal_gamma)
+                total = total + cfg.train.loss_w_ce_2d * losses["focal"]
+            if cfg.train.loss_w_lov_2d > 0:
+                losses["lovasz"] = lovasz_softmax_loss(
+                    probs, train_label, ignore=cfg.train.ignore_cls)
+                total = total + cfg.train.loss_w_lov_2d * losses["lovasz"]
+
+            if with_contrast and cfg.contrast.loss_w_contrast > 0:
+                embedding = out["embedding"]
+                if cfg.contrast.entropy_selection:
+                    pseudo_label, pseudo_mask = entropy_based_selection(
+                        jax.lax.stop_gradient(probs), wss_mask, eval_mask,
+                        train_label, select_ratio, select_rng,
+                        ignore_cls=cfg.train.ignore_cls)
+                else:
+                    pseudo_label, pseudo_mask = train_label, wss_mask
+                losses["contrast"] = contrast_mem_loss(
+                    embedding, jax.lax.stop_gradient(probs), pseudo_label,
+                    pseudo_mask, jax.lax.stop_gradient(state.prototypes),
+                    anchor_rng, cfg.contrast,
+                    ignore_cls=cfg.train.ignore_cls)
+                total = total + (
+                    cfg.contrast.loss_w_contrast * losses["contrast"])
+
+            losses["total"] = total
+            aux = (mutated["batch_stats"], out, losses, train_label, wss_mask)
+            return total, aux
+
+        grads, (batch_stats, out, losses, proto_label, proto_mask) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, batch_stats).replace(rng=rng)
+
+        if with_contrast and cfg.contrast.use_prototype:
+            new_protos = update_prototypes(
+                state.prototypes,
+                jax.lax.stop_gradient(out["embedding"]),
+                proto_label, proto_mask, proto_rng, cfg.contrast,
+                ignore_cls=cfg.train.ignore_cls)
+            new_state = new_state.replace(prototypes=new_protos)
+
+        conf = _metrics_3d(jax.lax.stop_gradient(out["probs"]), batch, cfg)
+        return new_state, {"losses": losses, "confusion": conf}
+
+    return train_step
+
+
+def make_eval_step(cfg: ExperimentConfig):
+    def eval_step(state: TrainState, batch: dict[str, Any]):
+        features, _, _, _, eval_mask = _prepare_inputs(batch, cfg)
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            features, train=False, return_feat=False)
+        conf = _metrics_3d(out["probs"], batch, cfg)
+        argmax_2d = jnp.argmax(out["probs"], -1).astype(jnp.int32)
+        return {"confusion": conf, "argmax_2d": argmax_2d,
+                "probs": out["probs"]}
+
+    return eval_step
+
+
+@functools.lru_cache(maxsize=8)
+def select_ratio_schedule(n_epochs: int):
+    """Pseudo-label keep ratio (trainer.py:656-661):
+    0.5 * log(1 + (1+epoch)/n_epochs) / log(2)."""
+    import numpy as np
+
+    def ratio(epoch: int) -> float:
+        return float(
+            0.5 * np.log(1 + (1 + epoch) / n_epochs) / np.log(2))
+
+    return ratio

@@ -1,0 +1,99 @@
+"""SalsaNext shape/behavior tests (reference smoke-block analog,
+salsanext_proto.py __main__ checks output shapes on random input)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coarse3d_tpu.models import SalsaNext
+from coarse3d_tpu.models.blocks import pixel_shuffle
+from coarse3d_tpu.ops.resize import resize_bilinear
+
+B, H, W, C = 2, 32, 64, 10
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = SalsaNext(n_classes=C, dtype=jnp.float32)
+    x = jnp.zeros((B, H, W, 5))
+    variables = model.init(
+        {"params": jax.random.key(0)}, x, train=False, return_feat=True)
+    return model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, H, W, 5)),
+                    jnp.float32)
+    out = model.apply(variables, x, train=False, return_feat=True)
+    assert out["logits"].shape == (B, H, W, C)
+    assert out["probs"].shape == (B, H, W, C)
+    assert out["embedding"].shape == (B, H, W, 256)
+    np.testing.assert_allclose(
+        np.asarray(out["probs"].sum(-1)), 1.0, atol=1e-5)
+
+
+def test_train_mode_updates_batch_stats(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(B, H, W, 5)),
+                    jnp.float32)
+    out, mutated = model.apply(
+        variables, x, train=True, return_feat=False,
+        rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    # running stats moved away from init
+    leaf = jax.tree_util.tree_leaves(mutated["batch_stats"])[0]
+    assert float(jnp.abs(leaf).sum()) > 0
+
+
+def test_eval_deterministic(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(B, H, W, 5)),
+                    jnp.float32)
+    o1 = model.apply(variables, x, train=False)
+    o2 = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o1["logits"]),
+                                  np.asarray(o2["logits"]))
+
+
+def test_poss_padding():
+    # POSS: 40x1800 -> +8 pad internally, output depadded
+    model = SalsaNext(n_classes=14, pad_hw=8, dtype=jnp.float32)
+    x = jnp.zeros((1, 40, 120, 5))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["logits"].shape == (1, 40, 120, 14)
+
+
+def test_pixel_shuffle_matches_torch_semantics():
+    # out[b, h*r+i, w*r+j, c] == in[b, h, w, c*r*r + i*r + j]
+    r, b, h, w, c = 2, 1, 2, 3, 2
+    x = np.arange(b * h * w * c * r * r).reshape(b, h, w, c * r * r)
+    y = np.asarray(pixel_shuffle(jnp.asarray(x), r))
+    for i in range(r):
+        for j in range(r):
+            for cc in range(c):
+                np.testing.assert_array_equal(
+                    y[:, i::r, j::r, cc], x[..., cc * r * r + i * r + j])
+
+
+def test_resize_bilinear_align_corners():
+    # corners map exactly; midpoint interpolates linearly
+    x = jnp.asarray(np.arange(4, dtype=np.float32).reshape(1, 1, 4, 1))
+    y = np.asarray(resize_bilinear(x, 1, 7))[0, 0, :, 0]
+    np.testing.assert_allclose(y, np.linspace(0, 3, 7), rtol=1e-6)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 5, 9, 3)), jnp.float32)
+    up = np.asarray(resize_bilinear(img, 9, 17))
+    np.testing.assert_allclose(up[0, 0, 0], np.asarray(img)[0, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(up[0, -1, -1], np.asarray(img)[0, -1, -1],
+                               rtol=1e-6)
+
+
+def test_param_count_plausible(model_and_vars):
+    _, variables = model_and_vars
+    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    # SalsaNext is ~6.7M params + ~0.7M projector at base 32
+    assert 5e6 < n < 9e6, n

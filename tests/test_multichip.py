@@ -1,0 +1,75 @@
+"""Data-parallel sharding tests on 8 virtual CPU devices (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coarse3d_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
+from coarse3d_tpu.train.setup import build_alpha, build_state
+from coarse3d_tpu.train.step import make_eval_step, make_train_step
+from tests.test_train_step import tiny_config
+
+
+@pytest.fixture(scope="module")
+def mesh_setup():
+    assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+    cfg = tiny_config()
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    from coarse3d_tpu.data.synthetic import synthetic_batch
+
+    batch = synthetic_batch(rng, cfg, batch_size=8, n_points=2000,
+                            weak_ratio=0.01)
+    state = build_state(cfg, jax.random.key(0), steps_per_epoch=10,
+                        batch_size=8)
+    return cfg, mesh, batch, state
+
+
+def test_sharded_full_train_step(mesh_setup):
+    cfg, mesh, batch, state = mesh_setup
+    sharded = shard_batch(batch, mesh)
+    rstate = replicate_to_mesh(state, mesh)
+    step = jax.jit(make_train_step(cfg, build_alpha(cfg),
+                                   with_contrast=True))
+    new_state, metrics = step(rstate, sharded, 0.25)
+    assert np.isfinite(float(metrics["losses"]["total"]))
+    # batch shards across devices, params replicated
+    feat_shard = sharded["features"].sharding
+    assert feat_shard.spec == jax.sharding.PartitionSpec("data")
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_matches_single_device(mesh_setup):
+    """Global-batch semantics: the 8-way sharded step must equal the
+    unsharded step bit-for-bit up to reduction order (SyncBN, global
+    gradients, global confusion)."""
+    cfg, mesh, batch, state = mesh_setup
+    step_fn = make_train_step(cfg, build_alpha(cfg), with_contrast=False)
+
+    single_state, single_metrics = jax.jit(step_fn)(
+        state, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    sharded = shard_batch(batch, mesh)
+    rstate = replicate_to_mesh(state, mesh)
+    multi_state, multi_metrics = jax.jit(step_fn)(rstate, sharded)
+
+    np.testing.assert_allclose(
+        float(single_metrics["losses"]["total"]),
+        float(multi_metrics["losses"]["total"]), rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(single_metrics["confusion"]),
+        np.asarray(multi_metrics["confusion"]))
+    # parameters after one update agree to fp tolerance
+    s_leaves = jax.tree_util.tree_leaves(single_state.params)
+    m_leaves = jax.tree_util.tree_leaves(multi_state.params)
+    for a, b in zip(s_leaves, m_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,108 @@
+"""End-to-end train/eval step tests on a tiny synthetic config."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coarse3d_tpu.configs.config import (
+    ContrastConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    SensorSpec,
+    TrainConfig,
+)
+from coarse3d_tpu.data.synthetic import synthetic_batch
+from coarse3d_tpu.metrics import iou_from_confusion
+from coarse3d_tpu.train.setup import build_alpha, build_state
+from coarse3d_tpu.train.step import (
+    make_eval_step,
+    make_train_step,
+    select_ratio_schedule,
+)
+
+
+def tiny_config(**kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        data=DataConfig(dataset="synthetic", n_classes=8, max_points=4096,
+                        cls_counts=tuple([0.0] + [100.0] * 7)),
+        sensor=SensorSpec(proj_h=16, proj_w=64),
+        model=ModelConfig(compute_dtype="float32"),
+        contrast=ContrastConfig(
+            num_anchor=32, max_pixels_per_class=128, sub_proto_size=4,
+            proj_dim=32, **kw.pop("contrast", {})),
+        train=TrainConfig(**kw.pop("train", {})),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        rng, cfg, batch_size=2, n_points=3000, weak_ratio=0.01).items()}
+    state = build_state(cfg, jax.random.key(0), steps_per_epoch=10,
+                        batch_size=2)
+    alpha = build_alpha(cfg)
+    return cfg, batch, state, alpha
+
+
+def test_warmup_step_runs_and_learns(setup):
+    cfg, batch, state, alpha = setup
+    step = jax.jit(make_train_step(cfg, alpha, with_contrast=False))
+    s = state
+    losses = []
+    for _ in range(5):
+        s, metrics = step(s, batch)
+        losses.append(float(metrics["losses"]["total"]))
+    assert int(s.step) == 5
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # fits a fixed batch
+    # prototypes untouched without contrast
+    np.testing.assert_array_equal(
+        np.asarray(s.prototypes), np.asarray(state.prototypes))
+
+
+def test_contrast_step_runs(setup):
+    cfg, batch, state, alpha = setup
+    step = jax.jit(make_train_step(cfg, alpha, with_contrast=True))
+    ratio = select_ratio_schedule(cfg.train.n_epochs)(10)
+    s, metrics = step(state, batch, ratio)
+    assert np.isfinite(float(metrics["losses"]["total"]))
+    assert np.isfinite(float(metrics["losses"]["contrast"]))
+    # prototype memory moved and stayed unit-norm
+    assert float(jnp.abs(s.prototypes - state.prototypes).sum()) > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(s.prototypes), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_eval_step_and_metrics(setup):
+    cfg, batch, state, _ = setup
+    eval_step = jax.jit(make_eval_step(cfg))
+    out = eval_step(state, batch)
+    assert out["argmax_2d"].shape == batch["eval_label"].shape
+    mean_iou, per_cls = iou_from_confusion(out["confusion"])
+    assert 0.0 <= float(mean_iou) <= 1.0
+
+
+def test_training_improves_3d_iou(setup):
+    cfg, batch, state, alpha = setup
+    step = jax.jit(make_train_step(cfg, alpha, with_contrast=False))
+    eval_step = jax.jit(make_eval_step(cfg))
+    iou0 = float(iou_from_confusion(eval_step(state, batch)["confusion"])[0])
+    s = state
+    for _ in range(30):
+        s, _ = step(s, batch)
+    iou1 = float(iou_from_confusion(eval_step(s, batch)["confusion"])[0])
+    assert iou1 > iou0
+
+
+def test_select_ratio_schedule():
+    ratio = select_ratio_schedule(100)
+    # trainer.py:656-661 formula
+    assert abs(ratio(0) - 0.5 * np.log(1.01) / np.log(2)) < 1e-9
+    assert abs(ratio(99) - 0.5) < 1e-9
+    assert ratio(50) < 0.5
