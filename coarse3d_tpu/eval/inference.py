@@ -1,0 +1,53 @@
+"""Fused device inference: projection -> forward -> KNN -> 3D labels.
+
+This is the benchmark path (BASELINE.json: "SemanticKITTI scans/sec/chip
+(proj + fwd + KNN)"). The reference splits this across DataLoader workers
+(NumPy projection), the GPU forward, and an optional torch KNN module that
+the shipped trainer never calls (SURVEY §5.1 defect #10); here the whole
+per-scan pipeline is one jitted XLA program — no host round-trips between
+stages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from coarse3d_tpu.configs.config import ExperimentConfig
+from coarse3d_tpu.eval.unproject import unproject_image
+from coarse3d_tpu.ops.knn import knn_postprocess
+from coarse3d_tpu.ops.projection import (
+    build_range_features,
+    normalize_features,
+    range_project,
+)
+
+
+def make_inference_fn(model, variables, cfg: ExperimentConfig,
+                      use_knn: bool = True):
+    """Returns jitted (points (B, P, 4), valid (B, P)) -> labels (B, P)."""
+    sensor = cfg.sensor
+    knn_cfg = cfg.knn
+    n_classes = cfg.data.n_classes
+
+    @jax.jit
+    def infer(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        proj = jax.vmap(
+            functools.partial(range_project, sensor=sensor))(points, valid)
+        feats = build_range_features(
+            proj["proj_points"], proj["proj_range"], xp=jnp)
+        mask = proj["proj_idx"] >= 0
+        x = normalize_features(feats, mask, sensor, xp=jnp)
+        probs = model.apply(variables, x, train=False)["probs"]
+        argmax_2d = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        if use_knn:
+            return knn_postprocess(
+                proj["proj_range"], proj["depth"], argmax_2d,
+                proj["px"], proj["py"],
+                n_classes=n_classes, knn=knn_cfg.knn, search=knn_cfg.search,
+                sigma=knn_cfg.sigma, cutoff=knn_cfg.cutoff)
+        return unproject_image(argmax_2d, proj["px"], proj["py"])
+
+    return infer
