@@ -194,6 +194,18 @@ _NUSC_CLS_COUNTS = (
 
 def preset(name: str) -> ExperimentConfig:
     """Build the reference-equivalent config for one of the three datasets."""
+    if name in ("tiny", "synthetic"):
+        # small everything: CPU smoke runs and CI
+        return ExperimentConfig(
+            data=DataConfig(dataset="synthetic", n_classes=8,
+                            max_points=4096,
+                            cls_counts=tuple([0.0] + [100.0] * 7)),
+            sensor=SensorSpec(proj_h=16, proj_w=64),
+            model=ModelConfig(compute_dtype="float32"),
+            contrast=ContrastConfig(
+                num_anchor=32, max_pixels_per_class=128, sub_proto_size=4,
+                proj_dim=32),
+        )
     if name in ("semantic_kitti", "kitti"):
         return ExperimentConfig(
             data=DataConfig(

@@ -51,6 +51,33 @@ def synthetic_scan(
     return {"points": points, "labels": labels, "weak_labels": weak}
 
 
+class SyntheticDataset:
+    """In-memory catalog of synthetic scans (drop-in for the disk catalogs);
+    used by --synthetic smoke runs and tests."""
+
+    name = "synthetic"
+
+    def __init__(self, n_scans: int, n_points: int, n_classes: int, sensor,
+                 weak_ratio: float = 0.002, seed: int = 0):
+        self.n_scans = n_scans
+        self.n_points = n_points
+        self.n_classes = n_classes
+        self.sensor = sensor
+        self.weak_ratio = weak_ratio
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n_scans
+
+    def path_info(self, index: int) -> tuple[str, str]:
+        return "synth", f"{index:06d}"
+
+    def load(self, index: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed, index))
+        return synthetic_scan(
+            rng, self.n_points, self.n_classes, self.sensor, self.weak_ratio)
+
+
 def synthetic_batch(
     rng: np.random.Generator,
     cfg,

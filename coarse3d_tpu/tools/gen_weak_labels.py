@@ -1,0 +1,162 @@
+"""Weak-label generation: voxel-grid-sampled sparse annotations.
+
+Behavioral model: /root/reference/tasks/prepare_data/
+gen_sem_weak_label_rand_grid.py (:140-271): per scan, voxelize at
+`voxel_size` (0.06 m), label each voxel by its first point, uniformly sample
+`round(N_points * label_ratio)` (min 1) among non-ignore voxels, and
+propagate each sampled voxel's label to all its points
+(`voxel_propagation=True`) or only its first point. Saves one .npy of
+per-point weak labels per scan + a per-class stats log.
+
+TPU/host design: the reference calls open3d's C++ VoxelGrid then runs a
+*per-point Python loop* (`get_voxel(pt) for pt in scan`, :192-194) and a
+per-sampled-voxel O(K*N) match loop (:227-235). Both collapse into
+vectorized NumPy: open3d's voxel coordinate is floor((p - min_bound) /
+voxel_size), and `np.unique(..., return_inverse=True)` gives the
+point->voxel map in one pass. Output semantics are identical; ~1000x faster
+per scan, multiprocessing across scans.
+
+CLI:
+  python -m coarse3d_tpu.tools.gen_weak_labels \
+      --dataset semantic_kitti --dataset_root .../sequences \
+      --dataset_save .../weak/sequences --label_ratio 0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from multiprocessing import Pool
+
+import numpy as np
+
+from coarse3d_tpu.data import readers
+from coarse3d_tpu.data.label_maps import get_label_spec
+
+
+def voxelize(xyz: np.ndarray, voxel_size: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Point -> voxel assignment, open3d VoxelGrid coordinate convention.
+
+    Returns (voxel_coords (V, 3) int, point2voxel (N,) int voxel ids,
+    first_point (V,) index of each voxel's first point).
+    """
+    coords = np.floor(
+        (xyz - xyz.min(axis=0)) / voxel_size).astype(np.int64)
+    voxels, first, inverse = np.unique(
+        coords, axis=0, return_index=True, return_inverse=True)
+    return voxels, inverse.reshape(-1), first
+
+
+def sample_weak_labels(
+    xyz: np.ndarray,
+    mapped_labels: np.ndarray,
+    label_ratio: float,
+    voxel_size: float,
+    rng: np.random.Generator,
+    voxel_propagation: bool = True,
+) -> np.ndarray:
+    """Per-point weak labels by random voxel-grid sampling."""
+    n = len(xyz)
+    _, point2voxel, first = voxelize(xyz[:, :3], voxel_size)
+    voxel_label = mapped_labels[first]  # voxel labeled by its first point
+
+    n_sample = max(1, int(np.around(n * label_ratio)))
+    valid = np.flatnonzero(voxel_label > 0)
+    assert len(valid) > 0, "scan has no labeled voxels"
+    n_sample = min(n_sample, len(valid))
+    sampled = rng.choice(valid, size=n_sample, replace=False)
+
+    weak = np.zeros(n, dtype=np.int32)
+    if voxel_propagation:
+        lut = np.zeros(voxel_label.shape[0], np.int32)
+        lut[sampled] = voxel_label[sampled]
+        weak = lut[point2voxel]
+    else:
+        weak[first[sampled]] = voxel_label[sampled]
+    return weak
+
+
+def _process_scan(args):
+    scan_path, label_path, out_path, dataset, ratio, voxel_size, prop, seed \
+        = args
+    spec = get_label_spec(dataset)
+    if dataset == "nuscenes":
+        points = readers.read_nuscenes_scan(scan_path)
+        raw = readers.read_nuscenes_label(label_path)
+    else:
+        points = readers.read_kitti_scan(scan_path)
+        raw, _ = readers.read_kitti_label(label_path)
+    mapped = spec.map_labels(raw)
+    rng = np.random.default_rng(seed)
+    weak = sample_weak_labels(points, mapped, ratio, voxel_size, rng, prop)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.save(out_path, weak)
+    counts = np.bincount(weak, minlength=spec.n_classes)
+    full = np.bincount(mapped, minlength=spec.n_classes)
+    return counts, full
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="semantic_kitti",
+                   choices=["semantic_kitti", "semantic_poss", "nuscenes"])
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--dataset_save", required=True)
+    p.add_argument("--sequences", type=int, nargs="*", default=None)
+    p.add_argument("--weak_label_name", default="0.1")
+    p.add_argument("--label_ratio", type=float, default=0.001,
+                   help="0.001 => 0.1%%, 0.0001 => 0.01%%")
+    p.add_argument("--voxel_size", type=float, default=0.06)
+    p.add_argument("--no_voxel_propagation", action="store_true")
+    p.add_argument("--workers", type=int, default=os.cpu_count())
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.sequences is None:
+        args.sequences = {
+            "semantic_kitti": list(range(11)),
+            "semantic_poss": list(range(6)),
+        }.get(args.dataset, [])
+
+    jobs = []
+    for seq in args.sequences:
+        seq_s = f"{seq:02d}"
+        scan_dir = os.path.join(args.dataset_root, seq_s, "velodyne")
+        label_dir = os.path.join(args.dataset_root, seq_s, "labels")
+        out_dir = os.path.join(args.dataset_save, seq_s, args.weak_label_name)
+        scans = sorted(f for f in os.listdir(scan_dir) if f.endswith(".bin"))
+        for i, fname in enumerate(scans):
+            stem = os.path.splitext(fname)[0]
+            jobs.append((
+                os.path.join(scan_dir, fname),
+                os.path.join(label_dir, stem + ".label"),
+                os.path.join(out_dir, stem + ".npy"),
+                args.dataset, args.label_ratio, args.voxel_size,
+                not args.no_voxel_propagation,
+                (args.seed, seq, i),
+            ))
+
+    spec = get_label_spec(args.dataset)
+    weak_counts = np.zeros(spec.n_classes, np.int64)
+    full_counts = np.zeros(spec.n_classes, np.int64)
+    with Pool(args.workers) as pool:
+        for i, (wc, fc) in enumerate(pool.imap_unordered(_process_scan, jobs)):
+            weak_counts += wc
+            full_counts += fc
+            if (i + 1) % 500 == 0:
+                print(f"{i + 1}/{len(jobs)} scans")
+
+    log = os.path.join(
+        args.dataset_save,
+        f"log_{args.dataset}_ratio-{args.label_ratio}"
+        f"_voxel-{args.voxel_size}.txt")
+    with open(log, "w") as f:
+        f.write(f"args: {vars(args)}\n\nper-class weak/full point counts:\n")
+        for c in range(spec.n_classes):
+            f.write(f"{c} {spec.class_names[c]}: "
+                    f"{weak_counts[c]} / {full_counts[c]}\n")
+    print(f"done: {len(jobs)} scans; stats -> {log}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Training CLI.
+
+Behavioral model: tasks/weak_segmentation/main.py:178-198 + run.sh — one
+process per host (not per chip; in-process chips are mesh-sharded), config
+from YAML, experiment dir stamped with date + id, optional resume.
+
+  python -m coarse3d_tpu.tools.train --preset semantic_kitti \
+      --pcd_root .../sequences --weak_root .../weak --id v1.0
+  python -m coarse3d_tpu.tools.train --synthetic 32 --epochs 2   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", help="YAML config (preset + overrides)")
+    p.add_argument("--preset", default="semantic_kitti")
+    p.add_argument("--id", default="v1.0", dest="experiment_id")
+    p.add_argument("--pcd_root")
+    p.add_argument("--weak_root")
+    p.add_argument("--weak_label_name")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--save_path")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--val_only", action="store_true")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--synthetic", type=int, default=0, metavar="N_SCANS",
+                   help="train on N synthetic scans (tiny smoke run)")
+    p.add_argument("--synthetic_points", type=int, default=20000)
+    args = p.parse_args(argv)
+
+    from coarse3d_tpu.configs import load_config, preset
+    from coarse3d_tpu.data.pipeline import DataPipeline
+    from coarse3d_tpu.train.trainer import Trainer
+    from coarse3d_tpu.utils import Recorder
+
+    cfg = load_config(args.config) if args.config else preset(args.preset)
+
+    data_over = {}
+    for key in ("pcd_root", "weak_root", "weak_label_name"):
+        if getattr(args, key):
+            data_over[key] = getattr(args, key)
+    train_over = {}
+    if args.epochs:
+        train_over["n_epochs"] = args.epochs
+    if args.batch_size:
+        train_over["batch_size_train"] = args.batch_size
+        train_over["batch_size_val"] = args.batch_size
+    if args.synthetic:
+        data_over["dataset"] = "synthetic"
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, **data_over),
+        train=dataclasses.replace(cfg.train, **train_over),
+        experiment_id=args.experiment_id,
+        save_path=args.save_path or os.path.join(
+            cfg.save_path,
+            f"{datetime.date.today()}_{args.experiment_id}"),
+    )
+
+    if args.synthetic:
+        from coarse3d_tpu.data.synthetic import SyntheticDataset
+
+        train_ds = SyntheticDataset(
+            args.synthetic, args.synthetic_points, cfg.data.n_classes,
+            cfg.sensor, seed=cfg.train.seed)
+        val_ds = SyntheticDataset(
+            max(args.synthetic // 4, 1), args.synthetic_points,
+            cfg.data.n_classes, cfg.sensor, seed=cfg.train.seed + 1)
+    else:
+        from coarse3d_tpu.data.datasets import build_dataset
+
+        train_ds = build_dataset(cfg, "train")
+        val_ds = build_dataset(cfg, "val")
+
+    import jax
+
+    enabled = jax.process_index() == 0
+    recorder = Recorder(
+        cfg.save_path, settings=cfg,
+        snapshot_code_root=os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+        enabled=enabled)
+    recorder.logger.info(f"devices: {jax.devices()}")
+    recorder.logger.info(f"save_path: {cfg.save_path}")
+
+    # per-host batch = per-chip batch x local chips (4/GPU in run.sh)
+    train_pipe = DataPipeline(
+        train_ds, cfg, cfg.train.batch_size_train * jax.local_device_count(),
+        train=True, seed=cfg.train.seed, num_workers=args.num_workers)
+    val_pipe = DataPipeline(
+        val_ds, cfg, cfg.train.batch_size_val * jax.local_device_count(),
+        train=False, seed=cfg.train.seed, num_workers=args.num_workers)
+
+    trainer = Trainer(cfg, train_pipe, val_pipe, recorder=recorder)
+    if args.resume:
+        trainer.maybe_resume()
+    if args.val_only:
+        trainer.run_epoch(trainer.start_epoch, "Validation")
+        return
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Data layer tests: augmentation, sample building (incl. POSS tag path and
+weak-label fallback re-projection), on-disk catalogs, pipeline batching, and
+weak-label generation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from coarse3d_tpu.configs.config import AugmentConfig, ExperimentConfig, SensorSpec
+from coarse3d_tpu.configs import preset
+from coarse3d_tpu.data.augment import augment_pointcloud, _euler_zyx_matrix
+from coarse3d_tpu.data.datasets import (
+    NuscenesDataset,
+    SemanticKittiDataset,
+    SemanticPossDataset,
+)
+from coarse3d_tpu.data.label_maps import get_label_spec
+from coarse3d_tpu.data.pipeline import BATCH_KEYS, DataPipeline, build_sample
+from coarse3d_tpu.data.synthetic import synthetic_scan
+from coarse3d_tpu.tools.gen_weak_labels import sample_weak_labels, voxelize
+
+SMALL = SensorSpec(proj_h=16, proj_w=64)
+
+
+# ---------------------------------------------------------------------------
+# augmentation
+# ---------------------------------------------------------------------------
+
+def test_euler_matrix_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation as R
+
+    for _ in range(5):
+        yaw, pitch, roll = rng.uniform(-90, 90, 3)
+        got = _euler_zyx_matrix(yaw, pitch, roll)
+        want = R.from_euler("zyx", [yaw, pitch, roll], degrees=True).as_matrix()
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_augment_preserves_shape_and_intensity(rng):
+    pts = rng.normal(size=(100, 4)).astype(np.float32)
+    cfg = AugmentConfig()
+    out = augment_pointcloud(pts, cfg, rng)
+    assert out.shape == pts.shape
+    np.testing.assert_array_equal(out[:, 3], pts[:, 3])  # intensity untouched
+
+
+def test_augment_deterministic_with_seed(rng):
+    pts = rng.normal(size=(50, 4)).astype(np.float32)
+    cfg = AugmentConfig()
+    a = augment_pointcloud(pts, cfg, np.random.default_rng(7))
+    b = augment_pointcloud(pts, cfg, np.random.default_rng(7))
+    np.testing.assert_array_equal(a, b)
+    c = augment_pointcloud(pts, cfg, np.random.default_rng(8))
+    assert not np.array_equal(a, c)
+
+
+# ---------------------------------------------------------------------------
+# sample building
+# ---------------------------------------------------------------------------
+
+def test_build_sample_shapes(rng):
+    scan = synthetic_scan(rng, 3000, 10, SMALL, weak_ratio=0.01)
+    s = build_sample(scan, SMALL, max_points=4096, train=False)
+    assert set(s) == set(BATCH_KEYS)
+    assert s["features"].shape == (16, 64, 5)
+    assert s["point_valid"].sum() == 3000
+    assert (s["train_label"] >= 0).all()
+
+
+def test_build_sample_weak_fallback(rng):
+    """If every weak point is occluded, fallback re-projection must surface
+    at least one weak pixel (wss_sem_kitti_loader.py:134-147)."""
+    sensor = SensorSpec(proj_h=4, proj_w=8)
+    n = 512
+    scan = synthetic_scan(rng, n, 6, sensor, weak_ratio=0.0)
+    # hand-craft: one weak point hidden behind a nearer point in same pixel
+    pts = scan["points"]
+    depth = np.linalg.norm(pts[:, :3], axis=1)
+    far = int(np.argmax(depth))
+    scan["weak_labels"] = np.zeros(n, np.int32)
+    scan["weak_labels"][far] = 3
+    # add a blocker at the same angle, closer
+    pts[0] = pts[far] * 0.5
+    pts[0, 3] = 0.1
+    s = build_sample(scan, sensor, max_points=1024, train=True,
+                     augment=None)
+    assert (s["train_label"] > 0).sum() >= 1
+
+
+def test_build_sample_poss_tags(rng):
+    sensor = SensorSpec(proj_h=8, proj_w=32, max_depth=200.0)
+    hw = 8 * 32
+    n = 100
+    flat = np.sort(rng.choice(hw, size=n, replace=False))
+    tags = np.zeros(hw, bool)
+    tags[flat] = True
+    pts = rng.normal(size=(n, 4)).astype(np.float32) + 5.0
+    scan = {
+        "points": pts,
+        "labels": rng.integers(0, 5, n).astype(np.int32),
+        "weak_labels": np.zeros(n, np.int32),
+        "tags": tags,
+    }
+    s = build_sample(scan, sensor, max_points=128, train=False)
+    # point i sits at pixel flat[i]
+    np.testing.assert_array_equal(
+        s["point_py"][:n] * 32 + s["point_px"][:n], flat)
+    got = s["eval_label"].reshape(-1)[flat]
+    np.testing.assert_array_equal(got, scan["labels"])
+    # features at tagged pixels carry the point data
+    feats = s["features"].reshape(hw, 5)
+    np.testing.assert_allclose(
+        feats[flat, 1:4], pts[:, :3], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# on-disk catalogs (mini KITTI/POSS layouts in tmp_path)
+# ---------------------------------------------------------------------------
+
+def _write_kitti_tree(root, weak_root, rng, n_scans=3, n_pts=500,
+                      poss=False):
+    spec = get_label_spec("semantic_poss" if poss else "semantic_kitti")
+    raw_ids = np.asarray(
+        [k for k, v in (
+            __import__("coarse3d_tpu.data.label_maps", fromlist=["x"])
+            .POSS_LEARNING_MAP if poss else
+            __import__("coarse3d_tpu.data.label_maps", fromlist=["x"])
+            .KITTI_LEARNING_MAP).items() if v > 0])
+    seq = os.path.join(root, "00")
+    os.makedirs(os.path.join(seq, "velodyne"))
+    os.makedirs(os.path.join(seq, "labels"))
+    if poss:
+        os.makedirs(os.path.join(seq, "tag"))
+    os.makedirs(os.path.join(weak_root, "00", "0.1"))
+    for i in range(n_scans):
+        pts = rng.normal(size=(n_pts, 4)).astype(np.float32) * 10
+        pts.tofile(os.path.join(seq, "velodyne", f"{i:06d}.bin"))
+        sem = rng.choice(raw_ids, n_pts).astype(np.int32)
+        inst = rng.integers(0, 5, n_pts).astype(np.int32)
+        (sem | (inst << 16)).astype(np.int32).tofile(
+            os.path.join(seq, "labels", f"{i:06d}.label"))
+        weak = np.where(rng.random(n_pts) < 0.05,
+                        spec.map_labels(sem), 0).astype(np.int32)
+        np.save(os.path.join(weak_root, "00", "0.1", f"{i:06d}.npy"), weak)
+        if poss:
+            hw = 40 * 1800
+            tags = np.zeros(hw, bool)
+            tags[np.sort(rng.choice(hw, n_pts, replace=False))] = True
+            tags.tofile(os.path.join(seq, "tag", f"{i:06d}.tag"))
+
+
+def test_kitti_catalog(tmp_path, rng):
+    root, weak = str(tmp_path / "pcd"), str(tmp_path / "weak")
+    _write_kitti_tree(root, weak, rng)
+    ds = SemanticKittiDataset(root, [0], weak_root=weak)
+    assert len(ds) == 3
+    scan = ds.load(0)
+    assert scan["points"].shape == (500, 4)
+    assert scan["labels"].max() < 20 and scan["labels"].min() >= 0
+    assert (scan["weak_labels"] > 0).any()
+    seq_id, frame_id = ds.path_info(1)
+    assert (seq_id, frame_id) == ("00", "000001")
+
+
+def test_poss_catalog(tmp_path, rng):
+    root, weak = str(tmp_path / "pcd"), str(tmp_path / "weak")
+    _write_kitti_tree(root, weak, rng, poss=True)
+    ds = SemanticPossDataset(root, [0], weak_root=weak)
+    scan = ds.load(0)
+    assert scan["tags"].sum() == len(scan["points"])
+    assert scan["labels"].max() < 14
+
+
+def test_nuscenes_manifest_catalog(tmp_path, rng):
+    import json
+
+    lidar = rng.normal(size=(300, 5)).astype(np.float32)
+    lidar[:, :2] *= 20  # keep most points past min-depth
+    lidar.tofile(tmp_path / "sweep.bin")
+    raw = rng.integers(0, 32, 300).astype(np.uint8)
+    raw.tofile(tmp_path / "seg.bin")
+    with open(tmp_path / "manifest_train.jsonl", "w") as f:
+        f.write(json.dumps({
+            "lidar": "sweep.bin", "lidarseg": "seg.bin", "token": "t0"}) + "\n")
+    ds = NuscenesDataset(str(tmp_path / "manifest_train.jsonl"),
+                         data_root=str(tmp_path))
+    scan = ds.load(0)
+    # min-depth filter applied
+    assert len(scan["points"]) <= 300
+    assert np.linalg.norm(scan["points"][:, :2], axis=1).min() >= 1.0
+    assert scan["labels"].max() < 17
+
+
+def test_pipeline_epoch(tmp_path, rng):
+    root, weak = str(tmp_path / "pcd"), str(tmp_path / "weak")
+    _write_kitti_tree(root, weak, rng, n_scans=5)
+    cfg = preset("kitti")
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, max_points=1024),
+        sensor=SMALL)
+    ds = SemanticKittiDataset(root, [0], weak_root=weak)
+    pipe = DataPipeline(ds, cfg, batch_size=2, train=True, seed=1,
+                        num_workers=2, process_index=0, process_count=1)
+    assert pipe.steps_per_epoch() == 2  # 5 scans, drop_last
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["features"].shape == (2, 16, 64, 5)
+        assert b["point_valid"].shape == (2, 1024)
+    # different epochs shuffle differently
+    i0 = pipe._epoch_indices(0)
+    i1 = pipe._epoch_indices(1)
+    assert not np.array_equal(i0, i1)
+    # host sharding stripes
+    pipe_b = DataPipeline(ds, cfg, batch_size=2, train=True, seed=1,
+                          num_workers=2, process_index=1, process_count=2)
+    assert len(pipe_b._epoch_indices(0)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# weak-label generation
+# ---------------------------------------------------------------------------
+
+def test_voxelize_groups_nearby_points():
+    xyz = np.array([
+        [0.0, 0.0, 0.0], [0.01, 0.01, 0.0],   # same 0.06 voxel
+        [1.0, 0.0, 0.0],
+    ])
+    voxels, p2v, first = voxelize(xyz, 0.06)
+    assert p2v[0] == p2v[1] != p2v[2]
+    assert len(voxels) == 2
+    assert first[p2v[0]] == 0
+
+
+def test_sample_weak_labels_ratio_and_propagation(rng):
+    n = 20000
+    xyz = rng.uniform(0, 50, (n, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    weak = sample_weak_labels(xyz, labels, 0.001, 0.06, np.random.default_rng(0))
+    labeled = (weak > 0).sum()
+    # ~round(N*ratio) voxels sampled; sparse voxels => ~1 point each
+    assert 10 <= labeled <= 200
+    # every weak label agrees with the voxel-first-point label scheme:
+    # weak label equals SOME point's label in the same voxel
+    _, p2v, first = voxelize(xyz, 0.06)
+    sel = np.flatnonzero(weak)
+    np.testing.assert_array_equal(weak[sel], labels[first[p2v[sel]]])
+
+    weak_np = sample_weak_labels(
+        xyz, labels, 0.001, 0.06, np.random.default_rng(0),
+        voxel_propagation=False)
+    assert (weak_np > 0).sum() <= (weak > 0).sum()
+
+
+def test_sample_weak_labels_min_one(rng):
+    xyz = rng.uniform(0, 5, (50, 3)).astype(np.float32)
+    labels = np.ones(50, np.int32)
+    weak = sample_weak_labels(xyz, labels, 1e-9, 0.06, np.random.default_rng(0))
+    assert (weak > 0).sum() >= 1

@@ -1,0 +1,96 @@
+"""Trainer + checkpoint integration tests on tiny synthetic data."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from coarse3d_tpu.data.pipeline import DataPipeline
+from coarse3d_tpu.data.synthetic import SyntheticDataset
+from coarse3d_tpu.train.checkpoint import CheckpointManager, load_pretrained_params
+from coarse3d_tpu.train.setup import build_state
+from coarse3d_tpu.train.trainer import Trainer
+from coarse3d_tpu.utils import Recorder
+from tests.test_train_step import tiny_config
+
+
+def _mini_trainer(tmp_path, n_epochs=2, contrast_warmup=99):
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, n_epochs=n_epochs, val_frequency=1),
+        contrast=dataclasses.replace(
+            cfg.contrast, contrast_warmup=contrast_warmup),
+        save_path=str(tmp_path / "run"),
+    )
+    ds = SyntheticDataset(8, 2000, cfg.data.n_classes, cfg.sensor,
+                          weak_ratio=0.01)
+    val = SyntheticDataset(2, 2000, cfg.data.n_classes, cfg.sensor,
+                           weak_ratio=0.01, seed=9)
+    train_pipe = DataPipeline(ds, cfg, batch_size=4, train=True,
+                              num_workers=2, process_index=0, process_count=1)
+    val_pipe = DataPipeline(val, cfg, batch_size=2, train=False,
+                            num_workers=2, process_index=0, process_count=1)
+    rec = Recorder(cfg.save_path, settings=cfg, use_tensorboard=False)
+    from coarse3d_tpu.parallel import make_mesh
+
+    # 2-device mesh: batch sizes (4 train / 2 val) must divide the mesh
+    return Trainer(cfg, train_pipe, val_pipe, recorder=rec,
+                   mesh=make_mesh(2)), cfg
+
+
+def test_fit_two_epochs_and_resume(tmp_path):
+    trainer, cfg = _mini_trainer(tmp_path)
+    trainer.fit()
+    assert int(trainer.state.step) == 2 * trainer.steps_per_epoch
+    # metrics were written
+    metrics = (tmp_path / "run" / "log" / "metrics.jsonl").read_text()
+    assert "Validation_mean_IOU_3D" in metrics
+    # checkpoints exist; a fresh trainer resumes past both epochs
+    trainer.ckpt.close()
+    trainer2, _ = _mini_trainer(tmp_path)
+    trainer2.maybe_resume()
+    assert trainer2.start_epoch == 2
+    assert int(trainer2.state.step) == 2 * trainer.steps_per_epoch
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer2.state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]),
+        rtol=1e-6)
+    trainer2.ckpt.close()
+
+
+def test_contrast_epoch_gating(tmp_path):
+    trainer, cfg = _mini_trainer(tmp_path, n_epochs=1, contrast_warmup=0)
+    protos_before = np.asarray(trainer.state.prototypes)
+    trainer.run_epoch(0, "Train")
+    assert np.abs(
+        np.asarray(trainer.state.prototypes) - protos_before).sum() > 0
+    trainer.ckpt.close()
+
+
+def test_best_checkpoint_tracking(tmp_path):
+    trainer, cfg = _mini_trainer(tmp_path, n_epochs=1)
+    improved = trainer.ckpt.save_best(trainer.state, 0, {"3DIOU": 0.5})
+    assert improved == ["3DIOU"]
+    assert trainer.ckpt.save_best(trainer.state, 1, {"3DIOU": 0.4}) == []
+    assert trainer.ckpt.save_best(trainer.state, 2, {"3DIOU": 0.6}) == ["3DIOU"]
+    trainer.ckpt.close()
+
+
+def test_load_pretrained_filtered(tmp_path):
+    cfg = tiny_config()
+    state = build_state(cfg, jax.random.key(0), steps_per_epoch=2,
+                        batch_size=1)
+    donor = build_state(cfg, jax.random.key(1), steps_per_epoch=2,
+                        batch_size=1)
+    new_state, copied = load_pretrained_params(state, donor.params)
+    assert copied > 50
+    a = jax.tree_util.tree_leaves(new_state.params)[0]
+    b = jax.tree_util.tree_leaves(donor.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # prefix filtering copies a strict subset
+    _, copied_enc = load_pretrained_params(
+        state, donor.params, only_prefixes=("ResContextBlock",))
+    assert 0 < copied_enc < copied
