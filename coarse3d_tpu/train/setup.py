@@ -20,6 +20,7 @@ from coarse3d_tpu.train.state import TrainState, create_train_state
 
 
 def build_model(cfg: ExperimentConfig):
+    poss = cfg.data.dataset == "semantic_poss"
     kwargs = dict(
         n_classes=cfg.data.n_classes,
         in_channels=cfg.model.in_channels,
@@ -27,14 +28,16 @@ def build_model(cfg: ExperimentConfig):
         proj_dim=cfg.contrast.proj_dim,
         dropout_rate=cfg.model.dropout_rate,
         dtype=jnp.dtype(cfg.model.compute_dtype),
-        pad_hw=8 if cfg.data.dataset == "semantic_poss" else 0,
     )
     if cfg.model.net_type == "salsanext":
-        return SalsaNext(**kwargs)
+        # POSS pads H and W by +8 (salsanext_proto.py:426-431)
+        return SalsaNext(pad_hw=8 if poss else 0, **kwargs)
     if cfg.model.net_type == "rangenet":
         from coarse3d_tpu.models.rangenet import RangeNet
 
-        return RangeNet(layers=cfg.model.layers, **kwargs)
+        # POSS pads W by +24 (rangenet_proto.py:583-587)
+        return RangeNet(layers=cfg.model.layers,
+                        pad_w=24 if poss else 0, **kwargs)
     if cfg.model.net_type == "squeezesegv3":
         from coarse3d_tpu.models.squeezesegv3 import SqueezeSegV3
 

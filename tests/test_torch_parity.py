@@ -1,0 +1,166 @@
+"""Numerical parity: converted reference torch weights must reproduce the
+reference forward in our Flax models (validates conv/BN/PixelShuffle/
+ConvTranspose/unfold layout conversions end-to-end).
+
+The reference package is imported read-only (CPU, stubs for its missing
+deps); nothing is copied. Skipped if /root/reference is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference not mounted")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from coarse3d_tpu.tools.convert_torch_ckpt import convert_state_dict  # noqa: E402
+
+B, H, W, C = 1, 16, 64, 8
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    from tests._ref_stub import install_reference
+
+    install_reference()
+    import torch
+
+    torch.manual_seed(0)
+    return torch
+
+
+def _randomize_bn_stats(torch, model):
+    """Running stats at init are (0, 1); randomize so the parity test
+    actually exercises the batch_stats conversion."""
+    for mod in model.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+
+
+def _state_dict_np(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _apply_flax(model_cls, converted, x_nhwc, **kw):
+    model = model_cls(n_classes=C, dtype=jnp.float32, **kw)
+    variables = {"params": converted["params"],
+                 "batch_stats": converted["batch_stats"]}
+    return model.apply(variables, jnp.asarray(x_nhwc), train=False,
+                       return_feat=True)
+
+
+def test_rangenet_forward_parity(torch_ref, rng):
+    torch = torch_ref
+    from pc_processor.models.rangenet_proto import RangeNetProto
+
+    ref = RangeNetProto(layers=21, nclasses=C)
+    ref.eval()
+    _randomize_bn_stats(torch, ref)
+
+    x = rng.normal(size=(B, 5, H, W)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), return_feat=True)
+    want = out_ref["pred_2d"].numpy().transpose(0, 2, 3, 1)
+    want_feat = out_ref["feat_2d"].numpy().transpose(0, 2, 3, 1)
+
+    converted = convert_state_dict(_state_dict_np(ref), "rangenet", 21)
+    assert "missing" not in converted, converted.get("missing")
+
+    from coarse3d_tpu.models.rangenet import RangeNet
+
+    out = _apply_flax(RangeNet, converted, x.transpose(0, 2, 3, 1), layers=21)
+    np.testing.assert_allclose(np.asarray(out["probs"]), want,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["embedding"]), want_feat,
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_squeezesegv3_forward_parity(torch_ref, rng):
+    torch = torch_ref
+    from pc_processor.models.squeezesegv3_Proto import SqueezeSegV3Proto
+
+    ref = SqueezeSegV3Proto(nclasses=C, layers=21)
+    ref.eval()
+    _randomize_bn_stats(torch, ref)
+
+    x = rng.normal(size=(B, 5, H, W)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), return_feat=True)
+    want = out_ref["pred_2d"].numpy().transpose(0, 2, 3, 1)
+    want_feat = out_ref["feat_2d"].numpy().transpose(0, 2, 3, 1)
+
+    converted = convert_state_dict(_state_dict_np(ref), "squeezesegv3", 21)
+    assert "missing" not in converted, converted.get("missing")
+
+    from coarse3d_tpu.models.squeezesegv3 import SqueezeSegV3
+
+    out = _apply_flax(SqueezeSegV3, converted, x.transpose(0, 2, 3, 1),
+                      layers=21)
+    np.testing.assert_allclose(np.asarray(out["probs"]), want,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["embedding"]), want_feat,
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_salsanext_forward_parity(torch_ref, rng):
+    """The shipped SalsaNextProto.forward overwrites its inputs with
+    torch.randn(...).cuda() (SURVEY §5.1 defect #1), so the intended forward
+    is reproduced here by composing the reference's own public submodules in
+    the documented order (salsanext_proto.py:434-492)."""
+    torch = torch_ref
+    import torch.nn.functional as F
+
+    from pc_processor.models.salsanext_proto import SalsaNextProto
+
+    ref = SalsaNextProto(nclasses=C)
+    ref.eval()
+    _randomize_bn_stats(torch, ref)
+
+    x_np = rng.normal(size=(B, 5, H, W)).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(x_np)
+        c = ref.downCntx3(ref.downCntx2(ref.downCntx(x)))
+        d0c, d0b = ref.resBlock1(c)
+        d1c, d1b = ref.resBlock2(d0c)
+        d2c, d2b = ref.resBlock3(d1c)
+        d3c, d3b = ref.resBlock4(d2c)
+        d5c = ref.resBlock5(d3c)
+        u4 = ref.upBlock1(d5c, d3b)
+        u3 = ref.upBlock2(u4, d2b)
+        u2 = ref.upBlock3(u3, d1b)
+        u1 = ref.upBlock4(u2, d0b)
+        logits = ref.cls_head(u1)
+        want = F.softmax(logits, dim=1).numpy().transpose(0, 2, 3, 1)
+
+        h2, w2 = H // 2, W // 2
+        feats = [F.interpolate(t, size=(h2, w2), mode="bilinear",
+                               align_corners=True)
+                 for t in (d0b, d1b, d2b, d3b)]
+        emb = ref.projector(torch.cat(feats, 1))
+        emb = F.normalize(emb, p=2, dim=1)
+        emb = F.interpolate(emb, (H, W), mode="bilinear", align_corners=True)
+        want_feat = emb.numpy().transpose(0, 2, 3, 1)
+
+    converted = convert_state_dict(_state_dict_np(ref), "salsanext")
+    assert "missing" not in converted, converted.get("missing")
+
+    from coarse3d_tpu.models import SalsaNext
+
+    out = _apply_flax(SalsaNext, converted, x_np.transpose(0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out["probs"]), want,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["embedding"]), want_feat,
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_prototypes_pass_through(torch_ref):
+    from pc_processor.models.salsanext_proto import SalsaNextProto
+
+    ref = SalsaNextProto(nclasses=C)
+    converted = convert_state_dict(_state_dict_np(ref), "salsanext")
+    assert converted["prototypes"].shape == (C, 20, 256)
