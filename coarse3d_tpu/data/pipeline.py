@@ -17,6 +17,7 @@ every consumer is dataset-agnostic.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -79,12 +80,23 @@ def build_sample(
         eval_img = eval_img.reshape(h, w)
         train_img = train_img.reshape(h, w)
     else:
-        proj = projection.range_project_np(
-            points, sensor, mask_excludes_point0=mask_excludes_point0)
+        from coarse3d_tpu import native
+
+        if native.available():
+            project = functools.partial(
+                native.range_project_native, sensor=sensor,
+                mask_excludes_point0=mask_excludes_point0)
+            scatter = native.scatter_labels_native
+        else:
+            project = functools.partial(
+                projection.range_project_np, sensor=sensor,
+                mask_excludes_point0=mask_excludes_point0)
+            scatter = projection.scatter_labels_np
+        proj = project(points)
         px, py = proj["px"], proj["py"]
         proj_points, proj_range = proj["proj_points"], proj["proj_range"]
-        eval_img = projection.scatter_labels_np(proj["proj_idx"], labels)
-        train_img = projection.scatter_labels_np(proj["proj_idx"], weak)
+        eval_img = scatter(proj["proj_idx"], labels)
+        train_img = scatter(proj["proj_idx"], weak)
 
         # Weak-label fallback: if occlusion wiped every weak pixel,
         # re-project with weak points forced nearest
@@ -92,8 +104,13 @@ def build_sample(
         if train and (train_img > 0).sum() == 0 and (weak > 0).any():
             depth_tmp = np.linalg.norm(points[:, :3], axis=1)
             depth_tmp[weak < 1] = 10000.0
-            proj2 = projection.range_project_np(points, sensor, depth=depth_tmp)
-            train_img = projection.scatter_labels_np(proj2["proj_idx"], weak)
+            if native.available():
+                proj2 = native.range_project_native(
+                    points, sensor, depth_override=depth_tmp)
+            else:
+                proj2 = projection.range_project_np(
+                    points, sensor, depth=depth_tmp)
+            train_img = scatter(proj2["proj_idx"], weak)
 
     features = projection.build_range_features(proj_points, proj_range, xp=np)
 
@@ -183,18 +200,21 @@ class DataPipeline:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(
-                        lambda i: self._build(i, epoch), idxs))
-                    batch = {
-                        k: np.stack([s[k] for s in samples])
-                        for k in BATCH_KEYS
-                    }
-                    q.put(batch)
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(
+                            lambda i: self._build(i, epoch), idxs))
+                        batch = {
+                            k: np.stack([s[k] for s in samples])
+                            for k in BATCH_KEYS
+                        }
+                        q.put(batch)
+                q.put(None)
+            except BaseException as exc:  # propagate to the consumer
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -203,6 +223,8 @@ class DataPipeline:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -220,6 +220,19 @@ def test_pipeline_epoch(tmp_path, rng):
     assert len(pipe_b._epoch_indices(0)) <= 2
 
 
+def test_pipeline_propagates_worker_errors():
+    """A producer-thread exception must raise in the consumer, not hang."""
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.data.synthetic import SyntheticDataset
+
+    cfg = preset("tiny")
+    ds = SyntheticDataset(4, 20000, cfg.data.n_classes, cfg.sensor)
+    pipe = DataPipeline(ds, cfg, batch_size=2, train=True, num_workers=2,
+                        process_index=0, process_count=1)
+    with pytest.raises(AssertionError, match="max_points"):
+        next(iter(pipe.epoch(0)))
+
+
 # ---------------------------------------------------------------------------
 # weak-label generation
 # ---------------------------------------------------------------------------
