@@ -142,6 +142,53 @@ class UpBlock(nn.Module):
         return out
 
 
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (reference salsanext_proto.py:234-250; defined
+    but unused by the shipped models — provided for API completeness)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = x.mean(axis=(1, 2))
+        s = nn.Dense(c // self.reduction, dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype)(s)
+        s = nn.sigmoid(s)
+        return x * s[:, None, None, :]
+
+
+class ClassifierHead(nn.Module):
+    """Global-pool + linear classifier for ImageNet encoder pretraining
+    (reference FC, salsanext_proto.py:216-231)."""
+
+    n_outputs: int = 1000
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(jnp.float32).mean(axis=(1, 2))
+        return nn.Dense(self.n_outputs)(x)
+
+
+class ConvUpSample(nn.Module):
+    """Bilinear-upsample + conv deconv substitute (reference
+    layers/modules.py:5-28; unused by the shipped models)."""
+
+    features: int
+    scale: int = 2
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from coarse3d_tpu.ops.resize import resize_bilinear
+
+        x = resize_bilinear(x, x.shape[1] * self.scale,
+                            x.shape[2] * self.scale)
+        return ConvActBN(self.features, (3, 3), dtype=self.dtype)(x, train)
+
+
 class ProjectionHead(nn.Module):
     """Contrastive embedding head (reference ProjectionV1, projector.py:11-27):
     1x1 conv -> BN -> LeakyReLU -> 1x1 conv. Computed in fp32 — the embedding

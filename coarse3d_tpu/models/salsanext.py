@@ -25,12 +25,17 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from coarse3d_tpu.models.blocks import (
+    ClassifierHead,
     ProjectionHead,
     ResBlock,
     ResContextBlock,
     UpBlock,
 )
 from coarse3d_tpu.ops.resize import resize_bilinear
+
+# Encoder parameter prefixes for encoder-only pretrained loads — the
+# 198-name encoder_module.yaml analog (trainer.py:91-94, option.py:93-95).
+ENCODER_PREFIXES = ("ResContextBlock", "ResBlock")
 
 
 class SalsaNext(nn.Module):
@@ -42,6 +47,9 @@ class SalsaNext(nn.Module):
     dtype: Any = jnp.bfloat16
     # SemanticPOSS 40x1800 inputs get +8 zero-pad in H and W.
     pad_hw: int = 0
+    # ImageNet-pretrain classification mode (reference FC head,
+    # salsanext_proto.py:308-309,444-447): encoder only -> 1000-way logits.
+    classification: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -71,6 +79,9 @@ class SalsaNext(nn.Module):
                             dtype=self.dtype)(d2c, train)
         d5c = ResBlock(8 * bc, drop, pooling=False,
                        dtype=self.dtype)(d3c, train)
+
+        if self.classification:
+            return {"class_logits": ClassifierHead(name="fc")(d5c)}
 
         u4 = UpBlock(4 * bc, drop, dtype=self.dtype)(d5c, d3b, train)
         u3 = UpBlock(4 * bc, drop, dtype=self.dtype)(u4, d2b, train)

@@ -67,6 +67,9 @@ class Trainer:
         self.remain_time = RemainTime(cfg.train.n_epochs)
         self.ckpt = CheckpointManager(cfg.save_path)
         self.start_epoch = 0
+        # jax.profiler trace window: (first_step, last_step) of epoch 0
+        # (the reference only logs DT/PT wall-clock, SURVEY §5)
+        self.profile_steps: tuple[int, int] | None = None
 
     def maybe_resume(self):
         if self.ckpt.latest_epoch() is not None:
@@ -91,10 +94,18 @@ class Trainer:
         log = self.recorder.logger
         t_start = time.time()
 
+        last_panel = None
         for i, host_batch in enumerate(pipe.epoch(epoch)):
             batch = shard_batch(host_batch, self.mesh)
             t_proc = time.time()
             data_time = t_proc - t_start
+
+            if self.profile_steps and epoch == 0 and train:
+                if i == self.profile_steps[0]:
+                    jax.profiler.start_trace(
+                        f"{self.cfg.save_path}/profile")
+                if i == self.profile_steps[1]:
+                    jax.profiler.stop_trace()
 
             if train:
                 self.state, metrics = step_fn(self.state, batch, ratio)
@@ -102,6 +113,9 @@ class Trainer:
             else:
                 metrics = self._eval_step(self.state, batch)
                 losses = {}
+                last_panel = (np.asarray(metrics["argmax_2d"][0]),
+                              host_batch["eval_label"][0],
+                              host_batch["train_label"][0])
 
             self.evaluator.add(np.asarray(metrics["confusion"]))
             bsz = host_batch["features"].shape[0]
@@ -150,6 +164,16 @@ class Trainer:
                     if class_names is not None else str(c))
             self.recorder.scalar(f"{mode}_IOU_{c:02d}_{name}", float(iou),
                                  epoch)
+        # qualitative panel: dilated weak | pred | GT | error
+        # (trainer.py:874-893 analog)
+        if last_panel is not None and class_names is not None:
+            from coarse3d_tpu.visualizer import composite_panel
+
+            argmax0, eval0, weak0 = last_panel
+            self.recorder.image(
+                f"{mode}_Images",
+                composite_panel(argmax0, eval0, weak0, class_names),
+                epoch)
         log.info(
             f">>> Epoch {epoch + 1} {mode} done: "
             f"loss={meters['total'].avg:.4f} "
