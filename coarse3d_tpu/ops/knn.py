@@ -68,7 +68,8 @@ def _unpack(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_classes", "knn", "search", "sigma", "cutoff"))
+    jax.jit, static_argnames=("n_classes", "knn", "search", "sigma", "cutoff",
+                              "use_pallas"))
 def knn_postprocess(
     proj_range: jnp.ndarray,
     point_range: jnp.ndarray,
@@ -81,6 +82,7 @@ def knn_postprocess(
     search: int = 5,
     sigma: float = 1.0,
     cutoff: float = 1.0,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Clean per-point labels by range-aware KNN voting.
 
@@ -120,17 +122,35 @@ def knn_postprocess(
     idx = (py.astype(jnp.int32) * w + px.astype(jnp.int32))[..., None]
     neigh = jnp.take_along_axis(windows, idx, axis=1)      # (B, P, S2)
 
+    if use_pallas is None:
+        # measured on v5e: the XLA path (fused elementwise + lax.top_k) beats
+        # the hand-written kernel (65.6 vs 54.7 scans/s end-to-end) — the
+        # kernel's (TILE, 25) layout wastes lanes and its unrolled
+        # min-extraction re-reads the tile knn times. Kept as an alternative.
+        use_pallas = False
+    if use_pallas:
+        # fused distance + top-k + vote Pallas kernel: one pass over the
+        # gathered windows instead of materialized (B, P, S2) intermediates
+        from coarse3d_tpu.ops.pallas.knn_vote import knn_vote_pallas
+
+        return knn_vote_pallas(
+            neigh, point_range, n_classes=n_classes, knn=knn, search=search,
+            sigma=sigma, cutoff=cutoff)
+
     neigh_range, neigh_label = _unpack(neigh)
     # center replaced by the point's own range (distance 0, label kept)
     neigh_range = neigh_range.at[..., center].set(point_range)
 
     inv_gauss = jnp.asarray(_inv_gaussian_kernel(search, sigma))
-    dist = jnp.abs(neigh_range - point_range[..., None]) * inv_gauss
+    # +1 offset: zero distances (the center) would otherwise pack into
+    # denormals whose label bits FTZ arithmetic flushes away
+    dist = jnp.abs(neigh_range - point_range[..., None]) * inv_gauss + 1.0
     # labels ride through top_k inside the distance mantissa
     dist = _pack(dist, neigh_label)
 
     neg_top = jax.lax.top_k(-dist, knn)[0]                  # knn smallest
     knn_dist, knn_label = _unpack(-neg_top)
+    knn_dist = knn_dist - 1.0
     if cutoff > 0:
         knn_label = jnp.where(knn_dist > cutoff, n_classes, knn_label)
 
