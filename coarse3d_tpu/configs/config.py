@@ -140,6 +140,9 @@ class TrainConfig:
     loss_w_ce_2d: float = 1.0
     loss_w_lov_2d: float = 1.0
     focal_gamma: float = 2.0
+    # valid-pixel cap for the Lovász sort (weak labels are ~0.1% of pixels;
+    # see losses/lovasz.py). 0 disables the cap.
+    lovasz_budget: int = 16384
     val_frequency: int = 1
     seed: int = 1
     ignore_cls: int = 0

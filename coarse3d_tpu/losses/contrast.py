@@ -61,12 +61,17 @@ def sample_anchors(
     onehot = lbl[:, None, :] == cls_ids[None, :, None]      # (B, C, N)
     valid = onehot.any(axis=-1) & (cls_ids != ignore_cls)[None, :]
 
-    logits = jnp.where(onehot, log_weight[:, None, :], -jnp.inf)  # (B, C, N)
-    # guard fully-masked rows (absent classes) against NaN sampling
-    logits = jnp.where(valid[..., None], logits, 0.0)
-    draws = jax.random.categorical(
-        rng, logits[:, :, None, :], axis=-1,
-        shape=(b, c, num_anchor))                            # (B, C, A)
+    # with-replacement sampling by CDF inversion: jax.random.categorical
+    # would broadcast a (B, C, A, N) gumbel tensor (billions of elements at
+    # KITTI scale); cumsum + searchsorted is O(B*C*N + B*C*A*log N)
+    weights = jnp.where(onehot, jnp.exp(log_weight[:, None, :]), 0.0)
+    cdf = jnp.cumsum(weights, axis=-1)                       # (B, C, N)
+    u = jax.random.uniform(rng, (b, c, num_anchor),
+                           minval=0.0, maxval=1.0) * cdf[..., -1:]
+    # side='right' skips zero-weight (masked) pixels at u == their cdf value
+    draws = jax.vmap(jax.vmap(
+        lambda cd, uu: jnp.searchsorted(cd, uu, side="right")))(cdf, u)
+    draws = jnp.clip(draws, 0, n - 1).astype(jnp.int32)      # (B, C, A)
 
     anchors = jnp.take_along_axis(
         feat[:, None, :, :], draws[..., None], axis=2)       # (B, C, A, D)

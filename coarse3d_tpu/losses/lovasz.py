@@ -46,6 +46,7 @@ def lovasz_softmax_loss(
     labels: jnp.ndarray,
     ignore: int = 0,
     classes: str = "present",
+    budget: int | None = None,
 ) -> jnp.ndarray:
     """Multi-class Lovász-Softmax.
 
@@ -55,11 +56,25 @@ def lovasz_softmax_loss(
       ignore: void label dropped from the flattened pixel set.
       classes: 'present' averages only over classes present among valid
         pixels (reference default); 'all' averages over every class.
+      budget: optional cap on valid pixels. The supervision labels are weak
+        (~0.1% of pixels), but the fixed-shape masked sort otherwise runs
+        over EVERY pixel — C sorts of B*H*W elements dominate the train step
+        (~500 ms/step at KITTI scale on v5e). One cheap validity argsort +
+        gather shrinks the per-class sorts to `budget` elements; exact as
+        long as the valid count fits (surplus pixels are dropped).
     """
     c = probs.shape[-1]
     flat_p = probs.reshape(-1, c).astype(jnp.float32)
     flat_l = labels.reshape(-1).astype(jnp.int32)
     valid = flat_l != ignore
+
+    if budget is not None and budget < flat_l.shape[0]:
+        order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int8),
+                            stable=True)
+        sel = order[:budget]
+        flat_p = flat_p[sel]
+        flat_l = flat_l[sel]
+        valid = valid[sel]
 
     fg_all = jax.nn.one_hot(flat_l, c, dtype=jnp.float32) * valid[:, None]
 

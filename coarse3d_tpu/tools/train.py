@@ -34,7 +34,18 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SCANS",
                    help="train on N synthetic scans (tiny smoke run)")
     p.add_argument("--synthetic_points", type=int, default=20000)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize the JAX distributed runtime (multi-host "
+                        "pods; coordinator from env, see jax.distributed)")
+    p.add_argument("--profile_steps", type=int, nargs=2, default=None,
+                   metavar=("FIRST", "LAST"),
+                   help="jax.profiler trace window within epoch 0")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from coarse3d_tpu.configs import load_config, preset
     from coarse3d_tpu.data.pipeline import DataPipeline
@@ -100,6 +111,9 @@ def main(argv=None):
         train=False, seed=cfg.train.seed, num_workers=args.num_workers)
 
     trainer = Trainer(cfg, train_pipe, val_pipe, recorder=recorder)
+    trainer.install_signal_handlers()
+    if args.profile_steps:
+        trainer.profile_steps = tuple(args.profile_steps)
     if args.resume:
         trainer.maybe_resume()
     if args.val_only:

@@ -82,7 +82,8 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool):
                 total = total + cfg.train.loss_w_ce_2d * losses["focal"]
             if cfg.train.loss_w_lov_2d > 0:
                 losses["lovasz"] = lovasz_softmax_loss(
-                    probs, train_label, ignore=cfg.train.ignore_cls)
+                    probs, train_label, ignore=cfg.train.ignore_cls,
+                    budget=cfg.train.lovasz_budget or None)
                 total = total + cfg.train.loss_w_lov_2d * losses["lovasz"]
 
             if with_contrast and cfg.contrast.loss_w_contrast > 0:

@@ -70,6 +70,22 @@ class Trainer:
         # jax.profiler trace window: (first_step, last_step) of epoch 0
         # (the reference only logs DT/PT wall-clock, SURVEY §5)
         self.profile_steps: tuple[int, int] | None = None
+        # preemption handling (the reference has none — SURVEY §5: crash
+        # recovery is manual): SIGTERM/SIGINT request a graceful checkpoint
+        # at the next epoch boundary
+        self._stop_requested = False
+
+    def install_signal_handlers(self):
+        import signal
+
+        def _handler(signum, frame):
+            self.recorder.logger.warning(
+                f"signal {signum}: will checkpoint and stop at the next "
+                f"epoch boundary")
+            self._stop_requested = True
+
+        signal.signal(signal.SIGTERM, _handler)
+        signal.signal(signal.SIGINT, _handler)
 
     def maybe_resume(self):
         if self.ckpt.latest_epoch() is not None:
@@ -184,6 +200,12 @@ class Trainer:
     def fit(self):
         for epoch in range(self.start_epoch, self.cfg.train.n_epochs):
             self.run_epoch(epoch, "Train")
+            if self._stop_requested:
+                self.ckpt.save_rolling(self.state, epoch)
+                self.recorder.logger.warning(
+                    f"preemption checkpoint saved at epoch {epoch + 1}; "
+                    f"resume with --resume")
+                return self.state
             if (epoch % self.cfg.train.val_frequency == 0
                     or epoch == self.cfg.train.n_epochs - 1):
                 results = self.run_epoch(epoch, "Validation")

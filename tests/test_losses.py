@@ -121,3 +121,15 @@ def test_lovasz_grad_flows(rng):
     g = jax.grad(lambda p: lovasz_softmax_loss(p, labels))(probs)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_lovasz_budget_exact_when_sparse(rng):
+    """With valid pixels under the budget, the capped loss is exact."""
+    n, c = 5000, 8
+    probs = rng.random((n, c)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    labels = np.where(rng.random(n) < 0.01, rng.integers(1, c, n), 0)
+    full = float(lovasz_softmax_loss(jnp.asarray(probs), jnp.asarray(labels)))
+    capped = float(lovasz_softmax_loss(
+        jnp.asarray(probs), jnp.asarray(labels), budget=512))
+    np.testing.assert_allclose(capped, full, rtol=1e-6)
