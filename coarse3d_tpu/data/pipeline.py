@@ -32,7 +32,7 @@ from coarse3d_tpu.ops import projection
 
 BATCH_KEYS = (
     "features", "train_label", "eval_label", "point_px", "point_py",
-    "point_label", "point_weak_label", "point_valid",
+    "point_depth", "point_label", "point_weak_label", "point_valid",
 )
 
 
@@ -62,6 +62,7 @@ def build_sample(
     if "tags" in scan:
         # POSS: sensor-given pixel layout (semantic_poss.py:167-206)
         px, py = _tag_pixels(scan["tags"], sensor.proj_w)
+        point_depth = None
         h, w = sensor.proj_h, sensor.proj_w
         depth = np.linalg.norm(points[:, :3], axis=1)
         if sensor.max_depth > 0:
@@ -94,6 +95,7 @@ def build_sample(
             scatter = projection.scatter_labels_np
         proj = project(points)
         px, py = proj["px"], proj["py"]
+        point_depth = proj["depth"]
         proj_points, proj_range = proj["proj_points"], proj["proj_range"]
         eval_img = scatter(proj["proj_idx"], labels)
         train_img = scatter(proj["proj_idx"], weak)
@@ -114,6 +116,13 @@ def build_sample(
 
     features = projection.build_range_features(proj_points, proj_range, xp=np)
 
+    if point_depth is None:  # POSS tag path computes depth directly
+        point_depth = np.minimum(
+            np.linalg.norm(points[:, :3], axis=1),
+            sensor.max_depth if sensor.max_depth > 0 else np.inf)
+    depth_p, _ = pad_points(point_depth.astype(np.float32), max_points,
+                            fill=-1.0)
+
     px_p, valid = pad_points(px.astype(np.int32), max_points)
     py_p, _ = pad_points(py.astype(np.int32), max_points)
     lbl_p, _ = pad_points(labels.astype(np.int32), max_points)
@@ -125,6 +134,7 @@ def build_sample(
         "eval_label": eval_img.astype(np.int32),
         "point_px": px_p,
         "point_py": py_p,
+        "point_depth": depth_p,
         "point_label": lbl_p,
         "point_weak_label": weak_p,
         "point_valid": valid,

@@ -97,7 +97,7 @@ def synthetic_batch(
     max_points = cfg.data.max_points
     out = {k: [] for k in (
         "features", "train_label", "eval_label", "point_px", "point_py",
-        "point_label", "point_weak_label", "point_valid")}
+        "point_depth", "point_label", "point_weak_label", "point_valid")}
     for _ in range(batch_size):
         scan = synthetic_scan(
             rng, n_points, cfg.data.n_classes, sensor, weak_ratio)
@@ -111,11 +111,14 @@ def synthetic_batch(
             projection.scatter_labels_np(
                 proj["proj_idx"], scan["weak_labels"]))
         px, pv = pad_points(proj["px"], max_points)
+        depth, _ = pad_points(proj["depth"].astype(np.float32), max_points,
+                              fill=-1.0)
         py, _ = pad_points(proj["py"], max_points)
         lbl, _ = pad_points(scan["labels"], max_points)
         wlbl, _ = pad_points(scan["weak_labels"], max_points)
         out["point_px"].append(px)
         out["point_py"].append(py)
+        out["point_depth"].append(depth)
         out["point_label"].append(lbl)
         out["point_weak_label"].append(wlbl)
         out["point_valid"].append(pv)

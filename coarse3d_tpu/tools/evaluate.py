@@ -1,0 +1,115 @@
+"""Standalone evaluation CLI: checkpoint -> val-set 3D mIoU (+ optional KNN).
+
+Covers BASELINE config #1 (released-checkpoint inference) end to end:
+
+  python -m coarse3d_tpu.tools.convert_torch_ckpt --pth best_3DIOU_model.pth \
+      --net salsanext --out converted.msgpack
+  python -m coarse3d_tpu.tools.evaluate --preset semantic_kitti \
+      --pcd_root $KITTI/sequences --weights converted.msgpack --knn
+
+Also accepts Orbax run dirs produced by tools/train.py (--run_dir), and
+--synthetic for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config")
+    p.add_argument("--preset", default="semantic_kitti")
+    p.add_argument("--pcd_root")
+    p.add_argument("--weights", help="converted .msgpack checkpoint")
+    p.add_argument("--run_dir", help="training run dir (Orbax checkpoint)")
+    p.add_argument("--knn", action="store_true",
+                   help="apply KNN range post-processing")
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--synthetic", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from coarse3d_tpu.configs import load_config, preset
+    from coarse3d_tpu.data.pipeline import DataPipeline
+    from coarse3d_tpu.metrics import ConfusionState
+    from coarse3d_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
+    from coarse3d_tpu.train.setup import build_state
+    from coarse3d_tpu.train.step import make_eval_step
+
+    cfg = load_config(args.config) if args.config else preset(args.preset)
+    over = {}
+    if args.pcd_root:
+        over["pcd_root"] = args.pcd_root
+    if over:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, **over))
+
+    if args.synthetic:
+        from coarse3d_tpu.data.synthetic import SyntheticDataset
+
+        ds = SyntheticDataset(args.synthetic,
+                              min(20000, cfg.data.max_points // 2),
+                              cfg.data.n_classes, cfg.sensor)
+    else:
+        from coarse3d_tpu.data.datasets import build_dataset
+
+        ds = build_dataset(cfg, "val")
+
+    bs = args.batch_size or cfg.train.batch_size_val * jax.local_device_count()
+    mesh = make_mesh()
+    pipe = DataPipeline(ds, cfg, bs, train=False,
+                        num_workers=args.num_workers)
+    state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
+                        batch_size=bs)
+
+    if args.weights:
+        import flax.serialization
+
+        with open(args.weights, "rb") as f:
+            conv = flax.serialization.msgpack_restore(f.read())
+        state = state.replace(params=conv["params"],
+                              batch_stats=conv["batch_stats"])
+        if "prototypes" in conv:
+            state = state.replace(
+                prototypes=jax.numpy.asarray(conv["prototypes"]))
+    elif args.run_dir:
+        from coarse3d_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.run_dir)
+        state, _ = ckpt.restore(state)
+        ckpt.close()
+
+    state = replicate_to_mesh(state, mesh)
+    eval_step = jax.jit(make_eval_step(cfg, use_knn=args.knn))
+    evaluator = ConfusionState(cfg.data.n_classes,
+                               ignore=(cfg.train.ignore_cls,))
+    for i, host_batch in enumerate(pipe.epoch(0)):
+        batch = shard_batch(host_batch, mesh)
+        out = eval_step(state, batch)
+        evaluator.add(np.asarray(out["confusion"]))
+        if i % 20 == 0:
+            print(f"batch {i + 1}/{pipe.steps_per_epoch()}")
+
+    mean_iou, class_iou = evaluator.iou()
+    mean_acc, _ = evaluator.acc()
+    names = getattr(getattr(ds, "label_spec", None), "class_names",
+                    [str(i) for i in range(cfg.data.n_classes)])
+    for c, iou in enumerate(np.asarray(class_iou)):
+        if c != cfg.train.ignore_cls:
+            print(f"  class {c:02d} {names[c]:20s} IoU {float(iou):.4f}")
+    print(json.dumps({
+        "mIoU_3D": round(float(mean_iou), 4),
+        "mAcc_3D": round(float(mean_acc), 4),
+        "knn": bool(args.knn),
+        "scans": len(ds),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,14 +125,32 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool):
     return train_step
 
 
-def make_eval_step(cfg: ExperimentConfig):
+def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False):
+    """`use_knn` applies the KNN range cleanup to the unprojected labels
+    before the confusion matrix — the reference's published numbers include
+    it even though its shipped trainer never calls it (SURVEY §5.1 #10)."""
+
     def eval_step(state: TrainState, batch: dict[str, Any]):
         features, _, _, _, eval_mask = _prepare_inputs(batch, cfg)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             features, train=False, return_feat=False)
-        conf = _metrics_3d(out["probs"], batch, cfg)
         argmax_2d = jnp.argmax(out["probs"], -1).astype(jnp.int32)
+        if use_knn:
+            from coarse3d_tpu.ops.knn import knn_postprocess
+
+            point_pred = knn_postprocess(
+                batch["features"][..., 0],  # channel 0 = projected range
+                batch["point_depth"], argmax_2d,
+                batch["point_px"], batch["point_py"],
+                n_classes=cfg.data.n_classes, knn=cfg.knn.knn,
+                search=cfg.knn.search, sigma=cfg.knn.sigma,
+                cutoff=cfg.knn.cutoff)
+            conf = confusion_matrix(
+                point_pred, batch["point_label"], cfg.data.n_classes,
+                valid=batch["point_valid"])
+        else:
+            conf = _metrics_3d(out["probs"], batch, cfg)
         return {"confusion": conf, "argmax_2d": argmax_2d,
                 "probs": out["probs"]}
 

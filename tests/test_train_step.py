@@ -106,3 +106,20 @@ def test_select_ratio_schedule():
     assert abs(ratio(0) - 0.5 * np.log(1.01) / np.log(2)) < 1e-9
     assert abs(ratio(99) - 0.5) < 1e-9
     assert ratio(50) < 0.5
+
+
+def test_eval_step_with_knn(setup):
+    cfg, batch, state, _ = setup
+    import jax
+
+    from coarse3d_tpu.train.step import make_eval_step
+
+    eval_knn = jax.jit(make_eval_step(cfg, use_knn=True))
+    out = eval_knn(state, batch)
+    from coarse3d_tpu.metrics import iou_from_confusion
+
+    miou = float(iou_from_confusion(out["confusion"])[0])
+    assert 0.0 <= miou <= 1.0
+    # confusion total == valid point count
+    assert int(np.asarray(out["confusion"]).sum()) == int(
+        np.asarray(batch["point_valid"]).sum())
