@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 24.0
-BATCH = 8
+BATCH = 16
 N_POINTS = 120000
 WARMUP = 3
 ITERS = 20

@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SCANS",
                    help="train on N synthetic scans (tiny smoke run)")
     p.add_argument("--synthetic_points", type=int, default=20000)
+    p.add_argument("--pretrained", help="converted .msgpack weights to warm-"
+                   "start from (reference pretrained_model)")
+    p.add_argument("--only_encoder", action="store_true",
+                   help="restrict --pretrained to encoder parameters "
+                        "(reference encoder_module.yaml semantics)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize the JAX distributed runtime (multi-host "
                         "pods; coordinator from env, see jax.distributed)")
@@ -114,6 +119,23 @@ def main(argv=None):
     trainer.install_signal_handlers()
     if args.profile_steps:
         trainer.profile_steps = tuple(args.profile_steps)
+    assert not (args.pretrained and args.resume), (
+        "cannot use pretrained weights and checkpoint resume together "
+        "(reference trainer.py:71-73)")
+    if args.pretrained:
+        import flax.serialization
+
+        from coarse3d_tpu.models.salsanext import ENCODER_PREFIXES
+        from coarse3d_tpu.train.checkpoint import load_pretrained_params
+
+        with open(args.pretrained, "rb") as f:
+            conv = flax.serialization.msgpack_restore(f.read())
+        prefixes = ENCODER_PREFIXES if args.only_encoder else ()
+        trainer.state, copied = load_pretrained_params(
+            trainer.state, conv["params"], only_prefixes=prefixes)
+        recorder.logger.info(
+            f"loaded {copied} pretrained tensors from {args.pretrained}"
+            f"{' (encoder only)' if args.only_encoder else ''}")
     if args.resume:
         trainer.maybe_resume()
     if args.val_only:
