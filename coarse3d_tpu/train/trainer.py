@@ -110,7 +110,12 @@ class Trainer:
         log = self.recorder.logger
         t_start = time.time()
 
+        # Confusion accumulates ON DEVICE and loss scalars are fetched only
+        # at logging intervals — a host sync every step (the reference does
+        # many .item()s per iter, trainer.py:749-762) would serialize the
+        # async dispatch pipeline.
         last_panel = None
+        device_conf = None
         for i, host_batch in enumerate(pipe.epoch(epoch)):
             batch = shard_batch(host_batch, self.mesh)
             t_proc = time.time()
@@ -129,22 +134,23 @@ class Trainer:
             else:
                 metrics = self._eval_step(self.state, batch)
                 losses = {}
-                last_panel = (np.asarray(metrics["argmax_2d"][0]),
+                last_panel = (metrics["argmax_2d"],
                               host_batch["eval_label"][0],
                               host_batch["train_label"][0])
 
-            self.evaluator.add(np.asarray(metrics["confusion"]))
-            bsz = host_batch["features"].shape[0]
-            loss_host = {k: float(v) for k, v in losses.items()}
-            for k, v in loss_host.items():
-                if k in meters:
-                    meters[k].update(v, bsz)
+            conf = metrics["confusion"]
+            device_conf = conf if device_conf is None else device_conf + conf
 
             proc_time = time.time() - t_proc
             self.remain_time.update(time.time() - t_start, mode)
             t_start = time.time()
 
             if i % 10 == 0:
+                bsz = host_batch["features"].shape[0]
+                loss_host = {k: float(v) for k, v in losses.items()}
+                for k, v in loss_host.items():
+                    if k in meters:
+                        meters[k].update(v, bsz)
                 eta = datetime.timedelta(seconds=int(
                     self.remain_time.get_remain_time(
                         epoch, i, total_iter, mode)))
@@ -155,6 +161,11 @@ class Trainer:
                     f"{self.cfg.train.n_epochs:03d}] "
                     f"I[{i + 1:04d}|{total_iter:04d}] DT[{data_time:.3f}] "
                     f"PT[{proc_time:.3f}] {loss_str} RT[{eta}]")
+        if device_conf is not None:
+            self.evaluator.add(np.asarray(device_conf))
+        if last_panel is not None:
+            last_panel = (np.asarray(last_panel[0][0]), last_panel[1],
+                          last_panel[2])
 
         mean_iou, class_iou = self.evaluator.iou()
         mean_acc, _ = self.evaluator.acc()
