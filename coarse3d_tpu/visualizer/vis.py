@@ -12,8 +12,6 @@ NumPy max-pool.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 from coarse3d_tpu.data.label_maps import LabelSpec
