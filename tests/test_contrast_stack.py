@@ -329,3 +329,29 @@ def test_contrast_loss_grad_finite(rng):
     g = jax.grad(f)(emb)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_anchor_sampling_follows_weights(rng):
+    """CDF-inversion sampling must draw ∝ exp(-entropy^2) within a class."""
+    b, h, w, d, c = 1, 1, 256, 4, 3
+    emb = jnp.asarray(rng.normal(size=(b, h, w, d)), jnp.float32)
+    labels = jnp.ones((b, h, w), jnp.int32)  # all class 1
+    # half the pixels confident (low entropy -> high weight), half uniform
+    probs = np.full((b, h, w, c), 1.0 / c, np.float32)
+    probs[0, 0, :128, 0] = 0.98
+    probs[0, 0, :128, 1:] = 0.01
+    counts = np.zeros(w)
+    for s in range(20):
+        _, _, _ = None, None, None
+        anchors_idx = None
+        # reuse sample_anchors but recover indices by matching features
+        a, _, valid = sample_anchors(
+            emb, jnp.asarray(probs), labels, jax.random.key(s), 256)
+        flat = np.asarray(emb).reshape(-1, d)
+        an = np.asarray(a)[0, 1]
+        idx = np.abs(an[:, None, :] - flat[None]).sum(-1).argmin(1)
+        counts += np.bincount(idx, minlength=w)
+    frac_confident = counts[:128].sum() / counts.sum()
+    # weight ratio exp(-ent_low^2) vs exp(-ent_high^2): confident pixels
+    # should dominate clearly
+    assert frac_confident > 0.6, frac_confident
