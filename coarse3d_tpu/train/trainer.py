@@ -55,10 +55,14 @@ class Trainer:
         self.state = replicate_to_mesh(state, self.mesh)
 
         alpha = build_alpha(cfg)
+        # donate the state: params/opt_state buffers are reused in place
+        # instead of copied every step
         self._step_warmup = jax.jit(
-            make_train_step(cfg, alpha, with_contrast=False))
+            make_train_step(cfg, alpha, with_contrast=False),
+            donate_argnums=(0,))
         self._step_contrast = jax.jit(
-            make_train_step(cfg, alpha, with_contrast=True))
+            make_train_step(cfg, alpha, with_contrast=True),
+            donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(cfg))
         self._ratio = select_ratio_schedule(cfg.train.n_epochs)
 
