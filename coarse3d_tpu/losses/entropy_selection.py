@@ -9,19 +9,16 @@ return the expanded pseudo label + its mask. The keep-ratio grows with epoch
 (trainer.py:656-661, see train.step.select_ratio_schedule).
 
 TPU design: `torch.multinomial(..., replacement=False)` per (image, class)
-becomes one Gumbel perturbation + a rank-within-class computed from two
-stable sorts (ops.gather.rank_within_class) — Gumbel top-k is exactly
-weighted sampling without replacement, and k varies per class as a mask, not
-a shape.
+becomes one Gumbel perturbation + a rank-within-class computed from a SINGLE
+sort of (class, quantized -score) composite int32 keys — Gumbel top-k is
+exactly weighted sampling without replacement, and k varies per class as a
+mask, not a shape.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from coarse3d_tpu.ops.gather import rank_within_class
-
 
 def _select_one_image(
     probs, wss_mask, eval_mask, train_label, select_ratio, rng, ignore_cls,
@@ -44,7 +41,27 @@ def _select_one_image(
     score = -entropy + gumbel
 
     cand = eval_m & (pseudo != ignore_cls)
-    ranks, counts = rank_within_class(score, pseudo, cand, n_classes)
+    # single-sort rank-within-class: quantize the score into the low bits of
+    # a (class, -score) composite int32 key — one argsort instead of the two
+    # chained ones in ops.gather.rank_within_class. The score already carries
+    # O(1) gumbel noise, so 25-bit quantization (resolution ~5e-7 over the
+    # clamped [-8, 8] range) is statistically invisible.
+    q_bits = 25
+    assert n_classes < (1 << (31 - q_bits))
+    q = jnp.clip((score + 8.0) * ((1 << q_bits) / 16.0), 0,
+                 (1 << q_bits) - 1).astype(jnp.int32)
+    keys = jnp.where(
+        cand, pseudo, n_classes) * (1 << q_bits) + ((1 << q_bits) - 1 - q)
+    order = jnp.argsort(keys)
+    sorted_cls = jnp.where(cand, pseudo, n_classes)[order]
+    starts = jnp.searchsorted(
+        sorted_cls, jnp.arange(n_classes + 1, dtype=jnp.int32),
+        sorter=None)
+    counts = (starts[1:] - starts[:-1])[:n_classes]
+    pos_in_class = jnp.arange(n, dtype=jnp.int32) - starts[
+        jnp.clip(sorted_cls, 0, n_classes)]
+    ranks = jnp.full((n,), n, jnp.int32).at[order].set(pos_in_class)
+    ranks = jnp.where(cand, ranks, n)
 
     # classes eligible for expansion: present among this image's weak labels
     weak_present = jnp.zeros((n_classes,), bool).at[
