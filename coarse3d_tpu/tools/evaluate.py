@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--save_preds", metavar="DIR",
+                   help="write per-scan predictions as raw-id .label files "
+                        "(SemanticKITTI benchmark submission format, via the "
+                        "inverse learning map)")
     args = p.parse_args(argv)
 
     import jax
@@ -86,13 +90,32 @@ def main(argv=None):
         ckpt.close()
 
     state = replicate_to_mesh(state, mesh)
-    eval_step = jax.jit(make_eval_step(cfg, use_knn=args.knn))
+    eval_step = jax.jit(
+        make_eval_step(cfg, use_knn=args.knn, return_point_pred=bool(
+            args.save_preds)))
     evaluator = ConfusionState(cfg.data.n_classes,
                                ignore=(cfg.train.ignore_cls,))
+    if args.save_preds:
+        import os
+
+        os.makedirs(args.save_preds, exist_ok=True)
+        spec = getattr(ds, "label_spec", None)
+        scan_index = 0
     for i, host_batch in enumerate(pipe.epoch(0)):
         batch = shard_batch(host_batch, mesh)
         out = eval_step(state, batch)
         evaluator.add(np.asarray(out["confusion"]))
+        if args.save_preds:
+            preds = np.asarray(out["point_pred"])
+            valids = host_batch["point_valid"]
+            for bidx in range(preds.shape[0]):
+                seq_id, frame_id = ds.path_info(scan_index)
+                pred = preds[bidx][valids[bidx]]
+                if spec is not None:
+                    pred = spec.unmap_labels(pred)
+                pred.astype(np.int32).tofile(
+                    f"{args.save_preds}/{seq_id}_{frame_id}.label")
+                scan_index += 1
         if i % 20 == 0:
             print(f"batch {i + 1}/{pipe.steps_per_epoch()}")
 

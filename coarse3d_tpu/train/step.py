@@ -125,7 +125,8 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool):
     return train_step
 
 
-def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False):
+def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False,
+                   return_point_pred: bool = False):
     """`use_knn` applies the KNN range cleanup to the unprojected labels
     before the confusion matrix — the reference's published numbers include
     it even though its shipped trainer never calls it (SURVEY §5.1 #10)."""
@@ -146,13 +147,17 @@ def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False):
                 n_classes=cfg.data.n_classes, knn=cfg.knn.knn,
                 search=cfg.knn.search, sigma=cfg.knn.sigma,
                 cutoff=cfg.knn.cutoff)
-            conf = confusion_matrix(
-                point_pred, batch["point_label"], cfg.data.n_classes,
-                valid=batch["point_valid"])
         else:
-            conf = _metrics_3d(out["probs"], batch, cfg)
-        return {"confusion": conf, "argmax_2d": argmax_2d,
-                "probs": out["probs"]}
+            point_pred = unproject_image(
+                argmax_2d, batch["point_px"], batch["point_py"])
+        conf = confusion_matrix(
+            point_pred, batch["point_label"], cfg.data.n_classes,
+            valid=batch["point_valid"])
+        result = {"confusion": conf, "argmax_2d": argmax_2d,
+                  "probs": out["probs"]}
+        if return_point_pred:
+            result["point_pred"] = point_pred
+        return result
 
     return eval_step
 
