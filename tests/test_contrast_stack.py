@@ -355,3 +355,20 @@ def test_anchor_sampling_follows_weights(rng):
     # weight ratio exp(-ent_low^2) vs exp(-ent_high^2): confident pixels
     # should dominate clearly
     assert frac_confident > 0.6, frac_confident
+
+
+def test_sinkhorn_hard_sample_is_noise_dominated(rng):
+    """Reference quirk (preserved): gumbel_softmax is applied to transport
+    PROBABILITIES, not log-probabilities (sinkhorn.py:31), so O(1) gumbel
+    noise dominates the O(1/B) plan values and the hard assignment is
+    mostly random — unlike the noise-free argmax index."""
+    m, k = 512, 8
+    sim = rng.normal(size=(m, k)).astype(np.float32) * 0.3
+    valid = np.ones(m, bool)
+    onehot, index = masked_sinkhorn(
+        jnp.asarray(sim), jnp.asarray(valid), jax.random.key(0))
+    hard = np.asarray(onehot).argmax(1)
+    agreement = (hard == np.asarray(index)).mean()
+    # noise-free argmax and gumbel-hard agree barely above chance (1/k)
+    assert agreement < 0.5, agreement
+    assert agreement > 0.0
