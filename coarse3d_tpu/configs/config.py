@@ -146,6 +146,11 @@ class TrainConfig:
     val_frequency: int = 1
     seed: int = 1
     ignore_cls: int = 0
+    # Apply KNN range cleanup during training-time validation so
+    # best-checkpoint selection matches the published (KNN-included) metric.
+    # The reference selects on KNN-less validation (trainer.py:706-747 vs
+    # SURVEY §5.1 defect #10) — default False keeps parity; flip for new runs.
+    val_use_knn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -169,7 +169,9 @@ class NuscenesDataset:
         else:
             weak = np.zeros(len(points), np.int32)
         if self.filter_min_depth:
-            keep = np.linalg.norm(points[:, :2], axis=1) >= self.min_depth
+            # Reference parity: full-xyz norm, strict > (dataset_nuscenes.py
+            # :321-323 "depths > min_dist"), NOT an xy-radius or inclusive >=.
+            keep = np.linalg.norm(points[:, :3], axis=1) > self.min_depth
             points, labels, weak = points[keep], labels[keep], weak[keep]
         return {"points": points, "labels": labels.astype(np.int32),
                 "weak_labels": weak.astype(np.int32)}

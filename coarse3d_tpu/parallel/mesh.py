@@ -34,6 +34,14 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: requested {n_devices} devices but the "
+                f"{devices[0].platform if devices else '?'} backend exposes "
+                f"only {len(devices)}. For a virtual multi-device CPU mesh, "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "force the cpu platform (jax.config.update('jax_platforms', "
+                "'cpu')) BEFORE any jax backend initialization.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

