@@ -141,6 +141,26 @@ def build_sample(
     }
 
 
+def _pad_tail_batch(batch: dict[str, np.ndarray],
+                    batch_size: int) -> dict[str, np.ndarray]:
+    """Pad a partial (eval-tail) batch to the fixed batch size so every step
+    runs the same compiled shape. Pad samples replicate sample 0's arrays but
+    carry point_valid=False, all-ignore labels, and scan_index=-1, so they
+    contribute nothing to the confusion matrix and are skippable by
+    prediction writers."""
+    pad_n = batch_size - len(batch["scan_index"])
+    out = {}
+    for k, v in batch.items():
+        pad = np.repeat(v[:1], pad_n, axis=0)
+        if k in ("point_valid", "train_label", "eval_label", "point_label",
+                 "point_weak_label"):
+            pad = np.zeros_like(pad)
+        elif k == "scan_index":
+            pad = np.full(pad_n, -1, np.int32)
+        out[k] = np.concatenate([v, pad])
+    return out
+
+
 class DataPipeline:
     """Shuffling, sharding, batching, threaded prefetch over a catalog."""
 
@@ -221,6 +241,12 @@ class DataPipeline:
                             k: np.stack([s[k] for s in samples])
                             for k in BATCH_KEYS
                         }
+                        # dataset indices ride in the batch so prediction
+                        # writers never depend on iteration order (multi-host
+                        # striping reorders scans)
+                        batch["scan_index"] = np.asarray(idxs, np.int32)
+                        if len(samples) < self.batch_size:
+                            batch = _pad_tail_batch(batch, self.batch_size)
                         q.put(batch)
                 q.put(None)
             except BaseException as exc:  # propagate to the consumer

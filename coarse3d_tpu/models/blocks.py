@@ -206,3 +206,71 @@ class ProjectionHead(nn.Module):
         x = nn.leaky_relu(x, 0.01)
         x = nn.Conv(self.proj_dim, (1, 1), dtype=jnp.float32)(x)
         return x
+
+
+class ProjectionHeadV2(nn.Module):
+    """Reference ProjectionV2 (projector.py:31-44, dead code — never
+    instantiated): 1x1 conv -> ReLU -> 1x1 conv. Rebuilt for literal API
+    completeness."""
+
+    proj_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(jnp.float32)
+        x = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        return nn.Conv(self.proj_dim, (1, 1), dtype=jnp.float32)(x)
+
+
+class ProjectionHeadV3(nn.Module):
+    """Reference ProjectionV3 (projector.py:48-60, dead code): V2 with
+    LeakyReLU instead of ReLU."""
+
+    proj_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(jnp.float32)
+        x = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32)(x)
+        x = nn.leaky_relu(x, 0.01)
+        return nn.Conv(self.proj_dim, (1, 1), dtype=jnp.float32)(x)
+
+
+class ProjectionHeadV4(nn.Module):
+    """Reference ProjectionV4 (projector.py:64-84, dead code): one 1x1 conv
+    then a SCALAR global l2 norm — `torch.norm(x, p=2)` with no dim reduces
+    over everything, so the module returns a single number. Reproduced
+    exactly (it is broken-by-design dead code in the reference)."""
+
+    proj_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(jnp.float32)
+        x = nn.Conv(self.proj_dim, (1, 1), dtype=jnp.float32)(x)
+        return jnp.sqrt(jnp.sum(jnp.square(x)))
+
+
+class CSAttention(nn.Module):
+    """Channel-wise spatial attention (reference layers/modules.py:30-56,
+    unused by the shipped models): a 3x3-conv-ReLU-3x3-conv value branch
+    gated elementwise by a parallel sigmoid attention branch."""
+
+    out_channels: int
+    stride: int = 1
+    scale: float = 1.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        mid = int(x.shape[-1] * self.scale)
+        s = (self.stride, self.stride)
+
+        def branch(h, final_act):
+            h = nn.Conv(mid, (3, 3), strides=s, dtype=self.dtype)(h)
+            h = nn.relu(h)
+            h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(h)
+            return final_act(h)
+
+        return branch(x, nn.relu) * branch(x, nn.sigmoid)

@@ -100,7 +100,6 @@ def main(argv=None):
 
         os.makedirs(args.save_preds, exist_ok=True)
         spec = getattr(ds, "label_spec", None)
-        scan_index = 0
     for i, host_batch in enumerate(pipe.epoch(0)):
         batch = shard_batch(host_batch, mesh)
         out = eval_step(state, batch)
@@ -108,14 +107,18 @@ def main(argv=None):
         if args.save_preds:
             preds = np.asarray(out["point_pred"])
             valids = host_batch["point_valid"]
-            for bidx in range(preds.shape[0]):
-                seq_id, frame_id = ds.path_info(scan_index)
+            # scan ids are stamped into the batch by the pipeline, so this
+            # is order-independent (correct under multi-host striping) and
+            # skips eval-tail padding samples (scan_index == -1)
+            for bidx, scan_index in enumerate(host_batch["scan_index"]):
+                if scan_index < 0:
+                    continue
+                seq_id, frame_id = ds.path_info(int(scan_index))
                 pred = preds[bidx][valids[bidx]]
                 if spec is not None:
                     pred = spec.unmap_labels(pred)
                 pred.astype(np.int32).tofile(
                     f"{args.save_preds}/{seq_id}_{frame_id}.label")
-                scan_index += 1
         if i % 20 == 0:
             print(f"batch {i + 1}/{pipe.steps_per_epoch()}")
 
