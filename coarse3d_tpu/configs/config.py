@@ -125,6 +125,12 @@ class ModelConfig:
     # bf16 activations / fp32 params is the TPU-native default; fp32
     # activations available for parity checks.
     compute_dtype: str = "bfloat16"
+    # "parity" = the reference architecture; "s2d" = TPU-native
+    # space-to-depth stem (salsanext only): the network runs at half
+    # resolution on 4x-stacked pixels and predicts 2x2 logits per coarse
+    # pixel via pixel-shuffle. NOT weight-compatible with the reference —
+    # opt-in for throughput (PERF.md "space-to-depth stem" table).
+    stem: str = "parity"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,6 +50,12 @@ class SalsaNext(nn.Module):
     # ImageNet-pretrain classification mode (reference FC head,
     # salsanext_proto.py:308-309,444-447): encoder only -> 1000-way logits.
     classification: bool = False
+    # TPU-native space-to-depth stem (NOT reference-weight-compatible):
+    # 2x2 pixel blocks stack into channels so the whole network runs at
+    # half resolution; logits come back via pixel-shuffle. Raises MXU
+    # occupancy of the thin-channel full-res stages (PERF.md: the parity
+    # model is HBM-bound at ~6% MXU) at ~4x lower activation bandwidth.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -61,6 +67,10 @@ class SalsaNext(nn.Module):
         if self.pad_hw:
             x = jnp.pad(
                 x, ((0, 0), (0, self.pad_hw), (0, self.pad_hw), (0, 0)))
+        if self.s2d_stem:
+            from einops import rearrange
+
+            x = rearrange(x, "b (h i) (w j) c -> b h w (c i j)", i=2, j=2)
         h, w = x.shape[1], x.shape[2]
         assert h % 16 == 0 and w % 16 == 0, f"H,W must divide 16, got {h}x{w}"
 
@@ -88,8 +98,16 @@ class SalsaNext(nn.Module):
         u2 = UpBlock(2 * bc, drop, dtype=self.dtype)(u3, d1b, train)
         u1 = UpBlock(bc, drop, drop_out=False, dtype=self.dtype)(u2, d0b, train)
 
-        logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32,
-                         name="cls_head")(u1.astype(jnp.float32))
+        if self.s2d_stem:
+            # 2x2 logits per coarse pixel, unshuffled to full resolution
+            from coarse3d_tpu.models.blocks import pixel_shuffle
+
+            logits = nn.Conv(4 * self.n_classes, (1, 1), dtype=jnp.float32,
+                             name="cls_head_s2d")(u1.astype(jnp.float32))
+            logits = pixel_shuffle(logits, 2)
+        else:
+            logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32,
+                             name="cls_head")(u1.astype(jnp.float32))
         if self.pad_hw:
             logits = logits[:, :h0, :w0, :]
         probs = nn.softmax(logits, axis=-1)
@@ -110,7 +128,9 @@ class SalsaNext(nn.Module):
             emb = ProjectionHead(self.proj_dim, name="projector")(mix, train)
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-            emb = resize_bilinear(emb, h, w)
+            # back to input resolution (2h, 2w when the s2d stem halved it)
+            emb = resize_bilinear(emb, (2 * h) if self.s2d_stem else h,
+                                  (2 * w) if self.s2d_stem else w)
             if self.pad_hw:
                 emb = emb[:, :h0, :w0, :]
             out["embedding"] = emb

@@ -66,7 +66,11 @@ def main(argv=None):
         ds = build_dataset(cfg, "val")
 
     bs = args.batch_size or cfg.train.batch_size_val * jax.local_device_count()
-    mesh = make_mesh()
+    # the batch shards over the mesh -> use the largest device count that
+    # divides the batch (a bare make_mesh() would fail for bs < n_devices)
+    import math
+
+    mesh = make_mesh(math.gcd(bs, jax.local_device_count()))
     pipe = DataPipeline(ds, cfg, bs, train=False,
                         num_workers=args.num_workers)
     state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
@@ -129,12 +133,15 @@ def main(argv=None):
     for c, iou in enumerate(np.asarray(class_iou)):
         if c != cfg.train.ignore_cls:
             print(f"  class {c:02d} {names[c]:20s} IoU {float(iou):.4f}")
-    print(json.dumps({
+    results = {
         "mIoU_3D": round(float(mean_iou), 4),
         "mAcc_3D": round(float(mean_acc), 4),
         "knn": bool(args.knn),
         "scans": len(ds),
-    }))
+    }
+    print(json.dumps(results))
+    results["class_iou"] = np.asarray(class_iou).tolist()
+    return results
 
 
 if __name__ == "__main__":

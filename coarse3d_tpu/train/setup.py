@@ -31,7 +31,8 @@ def build_model(cfg: ExperimentConfig):
     )
     if cfg.model.net_type == "salsanext":
         # POSS pads H and W by +8 (salsanext_proto.py:426-431)
-        return SalsaNext(pad_hw=8 if poss else 0, **kwargs)
+        return SalsaNext(pad_hw=8 if poss else 0,
+                         s2d_stem=cfg.model.stem == "s2d", **kwargs)
     if cfg.model.net_type == "rangenet":
         from coarse3d_tpu.models.rangenet import RangeNet
 

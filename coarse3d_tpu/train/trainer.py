@@ -115,12 +115,15 @@ class Trainer:
         log = self.recorder.logger
         t_start = time.time()
 
-        # Confusion accumulates ON DEVICE and loss scalars are fetched only
-        # at logging intervals — a host sync every step (the reference does
-        # many .item()s per iter, trainer.py:749-762) would serialize the
-        # async dispatch pipeline.
+        # Confusion AND loss scalars accumulate ON DEVICE; the host fetches
+        # loss values only at logging intervals (for display) and once at
+        # epoch end (for the true epoch averages) — a host sync every step
+        # (the reference does many .item()s per iter, trainer.py:749-762)
+        # would serialize the async dispatch pipeline.
         last_panel = None
         device_conf = None
+        device_loss_sums: dict | None = None
+        n_steps = 0
         for i, host_batch in enumerate(pipe.epoch(epoch)):
             batch = shard_batch(host_batch, self.mesh)
             t_proc = time.time()
@@ -145,6 +148,13 @@ class Trainer:
 
             conf = metrics["confusion"]
             device_conf = conf if device_conf is None else device_conf + conf
+            if losses:
+                n_steps += 1
+                if device_loss_sums is None:
+                    device_loss_sums = dict(losses)
+                else:
+                    device_loss_sums = {
+                        k: device_loss_sums[k] + v for k, v in losses.items()}
 
             proc_time = time.time() - t_proc
             self.remain_time.update(time.time() - t_start, mode)
@@ -168,6 +178,11 @@ class Trainer:
                     f"PT[{proc_time:.3f}] {loss_str} RT[{eta}]")
         if device_conf is not None:
             self.evaluator.add(np.asarray(device_conf))
+        # exact epoch-mean losses from the device accumulators (one fetch),
+        # not the 10%-subsampled display meters
+        epoch_loss = {
+            k: float(v) / max(n_steps, 1)
+            for k, v in (device_loss_sums or {}).items()}
         if last_panel is not None:
             last_panel = (np.asarray(last_panel[0][0]), last_panel[1],
                           last_panel[2])
@@ -184,9 +199,9 @@ class Trainer:
         self.recorder.scalar(f"{mode}_mean_IOU_3D", results["3DIOU"], epoch)
         self.recorder.scalar(f"{mode}_mean_Acc_3D", results["3DAcc"], epoch)
         if train:
-            for k, m in meters.items():
-                if m.count:
-                    self.recorder.scalar(f"{mode}_Loss_{k}", m.avg, epoch)
+            for k, v in epoch_loss.items():
+                if k in meters:
+                    self.recorder.scalar(f"{mode}_Loss_{k}", v, epoch)
         class_names = getattr(
             pipe.dataset, "label_spec", None)
         for c, iou in enumerate(np.asarray(class_iou)):
@@ -208,7 +223,7 @@ class Trainer:
                 epoch)
         log.info(
             f">>> Epoch {epoch + 1} {mode} done: "
-            f"loss={meters['total'].avg:.4f} "
+            f"loss={epoch_loss.get('total', 0.0):.4f} "
             f"mIoU={results['3DIOU']:.4f} mAcc={results['3DAcc']:.4f}")
         return results
 

@@ -125,3 +125,33 @@ def test_dead_code_blocks_shapes():
     assert out_a.shape == (2, 4, 8, 6)
     # sigmoid gate bounds the output by the |value branch|
     assert np.isfinite(np.asarray(out_a)).all()
+
+
+def test_s2d_stem_variant():
+    """Opt-in space-to-depth stem (ModelConfig.stem='s2d'): same output
+    contract as the parity model at ~1/4 the spatial compute. Not
+    reference-weight-compatible by design (PERF.md)."""
+    import dataclasses
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.train.setup import build_model
+
+    cfg = preset("tiny")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem="s2d",
+                                       compute_dtype="float32"))
+    model = build_model(cfg)
+    assert model.s2d_stem
+    x = jnp.ones((2, 32, 64, 5), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False,
+                           return_feat=True)
+    out = model.apply(variables, x, train=False, return_feat=True)
+    assert out["probs"].shape == (2, 32, 64, cfg.data.n_classes)
+    assert out["embedding"].shape == (2, 32, 64, cfg.contrast.proj_dim)
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]).sum(-1), 1.0, rtol=1e-5)
+    # full-res internal stages are gone: no activation at (32, 64) between
+    # stem and head — first conv runs on the (16, 32, 20) stacked grid
+    params = variables["params"]
+    first_kernel = params["ResContextBlock_0"]["Conv_0"]["kernel"]
+    assert first_kernel.shape[2] == 20  # 5ch x 2x2
