@@ -10,8 +10,6 @@ stages.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -21,7 +19,7 @@ from coarse3d_tpu.ops.knn import knn_postprocess
 from coarse3d_tpu.ops.projection import (
     build_range_features,
     normalize_features,
-    range_project,
+    range_project_batch,
 )
 
 
@@ -34,8 +32,7 @@ def make_inference_fn(model, variables, cfg: ExperimentConfig,
 
     @jax.jit
     def infer(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        proj = jax.vmap(
-            functools.partial(range_project, sensor=sensor))(points, valid)
+        proj = range_project_batch(points, valid, sensor=sensor)
         feats = build_range_features(
             proj["proj_points"], proj["proj_range"], xp=jnp)
         mask = proj["proj_idx"] >= 0

@@ -24,8 +24,10 @@ exactly ONE gather per point:
   4. Votes are a (knn x C) equality-sum, not a materialized one-hot.
 
 Mantissa packing distorts ranges/distances by <= 31 ulp (~2e-4 at 80 m) —
-immaterial against the 1.0 m cutoff. This is 4-5x faster than the naive
-unfold+gather formulation on TPU (590 ms -> ~60 ms per 8x150k-point batch).
+immaterial against the 1.0 m cutoff. History per 8x150k-point batch on
+v5e: naive unfold+double-gather 590 ms -> packed single-gather + fused
+vote ~50 -> flat-take gather ~44. The remaining cost is pinned to XLA's
+gather-engine descriptor rate (PERF.md "the point-op wall").
 """
 
 from __future__ import annotations

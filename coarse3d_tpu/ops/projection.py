@@ -174,6 +174,69 @@ def range_project(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("sensor", "mask_excludes_point0"))
+def range_project_batch(
+    points: jax.Array,
+    valid: jax.Array,
+    sensor: SensorSpec,
+    mask_excludes_point0: bool = False,
+) -> dict[str, jax.Array]:
+    """Batched device projection with the batch folded into flat indices.
+
+    Semantically identical to ``jax.vmap(range_project)`` but every
+    point-rate scatter/gather runs as ONE flat op with batch-offset
+    indices — measured ~15-20% faster than the vmapped form on v5e
+    (PERF.md "point-op wall": flat take 35.6 vs vmapped 41.3 ms), the
+    same win as the KNN window gather.
+    """
+    b, p = points.shape[0], points.shape[1]
+    h, w = sensor.proj_h, sensor.proj_w
+    hw = h * w
+    xyz = points[..., :3].astype(jnp.float32)
+    depth = jnp.linalg.norm(xyz, axis=-1)
+    if sensor.max_depth > 0:
+        depth = jnp.minimum(depth, sensor.max_depth)
+    px, py = pixel_coords(xyz, depth, sensor, xp=jnp)
+
+    base = (jnp.arange(b, dtype=jnp.int32) * hw)[:, None]
+    flat = jnp.where(valid, base + py * w + px, b * hw).reshape(-1)
+
+    dflat = depth.reshape(-1)
+    min_depth = jnp.full((b * hw,), _BIG, jnp.float32).at[flat].min(
+        dflat, mode="drop")
+
+    point_ids = jnp.arange(b * p, dtype=jnp.int32)
+    is_winner = valid.reshape(-1) & (
+        dflat == min_depth[jnp.clip(flat, 0, b * hw - 1)])
+    cand = jnp.where(is_winner, point_ids, b * p)
+    win_idx = jnp.full((b * hw,), b * p, jnp.int32).at[flat].min(
+        cand, mode="drop")
+
+    hit = win_idx < b * p
+    local_idx = win_idx - (jnp.arange(b * hw, dtype=jnp.int32) // hw) * p
+    proj_idx = jnp.where(hit, local_idx, -1).reshape(b, h, w)
+    proj_range = jnp.where(hit, min_depth, -1.0).reshape(b, h, w)
+    rows = jnp.take(points.reshape(b * p, -1),
+                    jnp.clip(win_idx, 0, b * p - 1), axis=0, mode="clip")
+    proj_points = jnp.where(hit[:, None], rows, -1.0).reshape(
+        b, h, w, points.shape[-1])
+
+    if mask_excludes_point0:
+        proj_mask = (proj_idx > 0).astype(jnp.int32)
+    else:
+        proj_mask = (proj_idx >= 0).astype(jnp.int32)
+
+    return {
+        "proj_points": proj_points,
+        "proj_range": proj_range,
+        "proj_idx": proj_idx,
+        "proj_mask": proj_mask,
+        "px": px,
+        "py": py,
+        "depth": depth,
+    }
+
+
 def scatter_labels_np(
     proj_idx: np.ndarray, point_labels: np.ndarray
 ) -> np.ndarray:

@@ -73,7 +73,7 @@ def test_poss_tag_pipeline_through_train_step():
     pipe = DataPipeline(ds, cfg, batch_size=2, train=True, num_workers=2,
                         process_index=0, process_count=1)
     batch = next(iter(pipe.epoch(0)))
-    assert set(batch) == set(BATCH_KEYS)
+    assert set(batch) == set(BATCH_KEYS) | {"scan_index"}
     assert batch["features"].shape == (2, 8, 24, 5)
 
     model = build_model(cfg)

@@ -147,3 +147,33 @@ def test_normalize_features(rng):
     assert (normed[~mask] == 0).all()
     expect = (feats[mask] - np.array(SMALL.img_mean)) / np.array(SMALL.img_stds)
     np.testing.assert_allclose(normed[mask], expect, rtol=1e-5, atol=1e-5)
+
+
+def test_range_project_batch_matches_vmapped(rng):
+    """range_project_batch (flat-index formulation, the inference path) must
+    equal jax.vmap(range_project) exactly on every output."""
+    import functools
+
+    import jax
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.data.synthetic import pad_points, synthetic_scan
+    from coarse3d_tpu.ops.projection import range_project, range_project_batch
+
+    cfg = preset("tiny")
+    pts, msk = [], []
+    for _ in range(3):
+        scan = synthetic_scan(rng, 700, cfg.data.n_classes, cfg.sensor)
+        p, v = pad_points(scan["points"], 1024, fill=0.0)
+        pts.append(p)
+        msk.append(v)
+    points = jnp.asarray(np.stack(pts))
+    valid = jnp.asarray(np.stack(msk))
+
+    ref = jax.vmap(functools.partial(
+        range_project, sensor=cfg.sensor))(points, valid)
+    got = range_project_batch(points, valid, sensor=cfg.sensor)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
