@@ -126,6 +126,15 @@ def main(argv=None):
         if i % 20 == 0:
             print(f"batch {i + 1}/{pipe.steps_per_epoch()}")
 
+    if jax.process_count() > 1:
+        # the pipeline index-stripes scans per host and the eval mesh is
+        # host-local, so each process holds a partial confusion matrix;
+        # the metric is the sum (the reference instead averaged per-rank
+        # mIoUs — SURVEY 5.1 defect #6, fixed here like in the Trainer)
+        from jax.experimental import multihost_utils
+
+        evaluator.conf = np.asarray(
+            multihost_utils.process_allgather(evaluator.conf)).sum(axis=0)
     mean_iou, class_iou = evaluator.iou()
     mean_acc, _ = evaluator.acc()
     names = getattr(getattr(ds, "label_spec", None), "class_names",
