@@ -130,15 +130,19 @@ int64_t c3d_voxelize(const float* points, int64_t n, int32_t stride,
   std::unordered_map<uint64_t, int32_t> voxel_ids;
   voxel_ids.reserve(static_cast<size_t>(n));
   int32_t next_id = 0;
-  const double inv = 1.0 / voxel_size;
+  // float32 subtract + float32 divide, exactly like the NumPy path
+  // (np.floor((xyz - xyz.min(0)) / voxel_size) on float32 input) — the
+  // two implementations must produce byte-identical voxel assignments so
+  // fixed-seed weak-label generation is environment-independent.
+  const float vsf = static_cast<float>(voxel_size);
   for (int64_t i = 0; i < n; ++i) {
     const float* pt = points + i * stride;
     const uint64_t cx = static_cast<uint64_t>(
-        static_cast<int64_t>(std::floor((pt[0] - minb[0]) * inv)));
+        static_cast<int64_t>(std::floor((pt[0] - minb[0]) / vsf)));
     const uint64_t cy = static_cast<uint64_t>(
-        static_cast<int64_t>(std::floor((pt[1] - minb[1]) * inv)));
+        static_cast<int64_t>(std::floor((pt[1] - minb[1]) / vsf)));
     const uint64_t cz = static_cast<uint64_t>(
-        static_cast<int64_t>(std::floor((pt[2] - minb[2]) * inv)));
+        static_cast<int64_t>(std::floor((pt[2] - minb[2]) / vsf)));
     // 21 bits per axis: fine for (2^21 * 0.06m) ~ 125 km extents
     const uint64_t key = (cx & 0x1FFFFF) | ((cy & 0x1FFFFF) << 21) |
                          ((cz & 0x1FFFFF) << 42);

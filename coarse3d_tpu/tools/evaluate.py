@@ -70,7 +70,12 @@ def main(argv=None):
     # divides the batch (a bare make_mesh() would fail for bs < n_devices)
     import math
 
-    mesh = make_mesh(math.gcd(bs, jax.local_device_count()))
+    n_mesh = math.gcd(bs, jax.local_device_count())
+    if n_mesh < jax.local_device_count():
+        print(f"note: batch_size {bs} shards over {n_mesh} of "
+              f"{jax.local_device_count()} local devices; pick a multiple "
+              f"of {jax.local_device_count()} to use them all")
+    mesh = make_mesh(n_mesh)
     pipe = DataPipeline(ds, cfg, bs, train=False,
                         num_workers=args.num_workers)
     state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,

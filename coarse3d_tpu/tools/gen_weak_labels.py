@@ -39,12 +39,22 @@ def voxelize(xyz: np.ndarray, voxel_size: float) -> tuple[np.ndarray, np.ndarray
 
     Returns (voxel_coords (V, 3) int, point2voxel (N,) int voxel ids,
     first_point (V,) index of each voxel's first point).
+
+    Voxel ids are FIRST-APPEARANCE ordered (the id of a voxel is the rank
+    of its first point), byte-identical to the native C++ path — so weak
+    labels generated with a fixed --seed are reproducible whether or not
+    the native extension compiled.
     """
     coords = np.floor(
         (xyz - xyz.min(axis=0)) / voxel_size).astype(np.int64)
     voxels, first, inverse = np.unique(
         coords, axis=0, return_index=True, return_inverse=True)
-    return voxels, inverse.reshape(-1), first
+    inverse = inverse.reshape(-1)
+    # lexicographic unique order -> first-appearance order
+    order = np.argsort(first, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return voxels[order], rank[inverse], first[order]
 
 
 def sample_weak_labels(
@@ -135,6 +145,12 @@ def _nuscenes_jobs(args) -> list:
         with open(manifest) as f:
             records = [json.loads(line) for line in f if line.strip()]
         for i, rec in enumerate(records):
+            if not rec.get("lidarseg"):
+                # manifests built without a lidarseg table (e.g. v1.0-test)
+                # carry "lidarseg": null — there is nothing to sample from
+                raise SystemExit(
+                    f"{manifest}: record {i} has no lidarseg path; weak "
+                    "labels can only be generated for labeled splits")
             out_rel = _nuscenes_weak_path(rec["lidarseg"],
                                           args.weak_label_name)
             jobs.append((

@@ -30,9 +30,18 @@ def build_model(cfg: ExperimentConfig):
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
     if cfg.model.net_type == "salsanext":
+        s2d = cfg.model.stem == "s2d"
+        if s2d:
+            h = cfg.sensor.proj_h + (8 if poss else 0)
+            w = cfg.sensor.proj_w + (8 if poss else 0)
+            if h % 32 or w % 32:
+                raise ValueError(
+                    f"stem='s2d' runs the network at half resolution, so "
+                    f"H and W (after any POSS padding) must divide 32; got "
+                    f"{h}x{w} for dataset={cfg.data.dataset}. Use the "
+                    f"parity stem for this sensor geometry.")
         # POSS pads H and W by +8 (salsanext_proto.py:426-431)
-        return SalsaNext(pad_hw=8 if poss else 0,
-                         s2d_stem=cfg.model.stem == "s2d", **kwargs)
+        return SalsaNext(pad_hw=8 if poss else 0, s2d_stem=s2d, **kwargs)
     if cfg.model.net_type == "rangenet":
         from coarse3d_tpu.models.rangenet import RangeNet
 

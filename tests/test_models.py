@@ -139,9 +139,15 @@ def test_s2d_stem_variant():
     cfg = preset("tiny")
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, stem="s2d",
-                                       compute_dtype="float32"))
+                                       compute_dtype="float32"),
+        sensor=dataclasses.replace(cfg.sensor, proj_h=32, proj_w=64))
     model = build_model(cfg)
     assert model.s2d_stem
+    # incompatible geometries fail fast at build time with a clear error
+    bad = dataclasses.replace(
+        cfg, sensor=dataclasses.replace(cfg.sensor, proj_h=16))
+    with pytest.raises(ValueError, match="s2d"):
+        build_model(bad)
     x = jnp.ones((2, 32, 64, 5), jnp.float32)
     variables = model.init({"params": jax.random.key(0)}, x, train=False,
                            return_feat=True)

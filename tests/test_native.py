@@ -59,15 +59,14 @@ def test_native_depth_override_prefers_weak(rng):
 
 
 def test_native_voxelize_matches_numpy(rng):
+    """Both paths use first-appearance voxel ids and must agree BYTE-FOR-
+    BYTE, so fixed-seed weak-label generation is reproducible whether or
+    not the native extension compiled."""
     xyz = rng.uniform(0, 30, (5000, 3)).astype(np.float32)
     p2v_native, first_native = native.voxelize_native(xyz, 0.06)
     _, p2v_np, first_np = voxelize(xyz, 0.06)
-    # ids are ordered differently (first-appearance vs sorted) but the
-    # partition must be identical
-    assert len(first_native) == len(first_np)
-    # same-voxel relation preserved
-    for a, b in rng.integers(0, 5000, (200, 2)):
-        assert (p2v_native[a] == p2v_native[b]) == (p2v_np[a] == p2v_np[b])
+    np.testing.assert_array_equal(p2v_native, p2v_np)
+    np.testing.assert_array_equal(first_native, first_np)
     # each voxel's first point is the lowest point index in the voxel
     for v in range(min(50, len(first_native))):
         members = np.flatnonzero(p2v_native == v)
