@@ -114,3 +114,56 @@ def test_convert_cli_roundtrip(tmp_path, rng):
     restored = flax.serialization.msgpack_restore(blob)
     out = model.apply(restored, x, train=False)
     assert out["probs"].shape == (1, 16, 32, 8)
+
+
+def test_visualize_cli(tmp_path, rng):
+    """visualize CLI: scan + labels + weak + weights -> PLYs + panel
+    (reference vis_as_ply.py / viewer scripts, rebuilt headless)."""
+    import dataclasses
+
+    import flax.serialization
+    import jax
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.data.synthetic import synthetic_scan
+    from coarse3d_tpu.tools.visualize import main as vis_main
+    from coarse3d_tpu.train.setup import build_model
+
+    cfg = dataclasses.replace(
+        preset("tiny"), data=dataclasses.replace(
+            preset("tiny").data, dataset="semantic_kitti", n_classes=20,
+            max_points=4096))
+    spec = get_label_spec("semantic_kitti")
+    scan = synthetic_scan(rng, 3000, 20, cfg.sensor)
+    scan["points"].astype(np.float32).tofile(tmp_path / "000000.bin")
+    spec.unmap_labels(scan["labels"]).astype(np.uint32).tofile(
+        tmp_path / "000000.label")
+    np.save(tmp_path / "000000.npy", scan["weak_labels"])
+
+    model = build_model(cfg)
+    variables = model.init({"params": jax.random.key(0)},
+                           np.zeros((1, 16, 64, 5), np.float32), train=False)
+    with open(tmp_path / "w.msgpack", "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(
+            jax.tree.map(np.asarray, dict(variables))))
+
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(json.dumps({
+        "preset": "semantic_kitti",
+        "data": {"max_points": 4096},
+        "sensor": {"proj_h": 16, "proj_w": 64},
+        "model": {"compute_dtype": "float32"},
+    }))
+    out = vis_main(["--config", str(cfg_yaml),
+                    "--scan", str(tmp_path / "000000.bin"),
+                    "--label", str(tmp_path / "000000.label"),
+                    "--weak", str(tmp_path / "000000.npy"),
+                    "--weights", str(tmp_path / "w.msgpack"), "--knn",
+                    "--out", str(tmp_path / "vis")])
+    assert os.path.exists(out)
+    assert os.path.exists(tmp_path / "vis" / "000000_gt.ply")
+    assert os.path.exists(tmp_path / "vis" / "000000_pred.ply")
+    # PLY loads: header + n records
+    with open(tmp_path / "vis" / "000000_gt.ply", "rb") as f:
+        head = f.read(200).decode(errors="ignore")
+    assert "element vertex 3000" in head
