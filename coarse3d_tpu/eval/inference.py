@@ -37,8 +37,11 @@ def make_inference_fn(model, variables, cfg: ExperimentConfig,
             proj["proj_points"], proj["proj_range"], xp=jnp)
         mask = proj["proj_idx"] >= 0
         x = normalize_features(feats, mask, sensor, xp=jnp)
-        probs = model.apply(variables, x, train=False)["probs"]
-        argmax_2d = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        # argmax over LOGITS: softmax is monotonic so the argmax is
+        # identical, and XLA dead-code-eliminates the (B, H, W, C) f32
+        # softmax entirely from the inference program
+        logits = model.apply(variables, x, train=False)["logits"]
+        argmax_2d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if use_knn:
             return knn_postprocess(
                 proj["proj_range"], proj["depth"], argmax_2d,

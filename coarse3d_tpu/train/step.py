@@ -136,7 +136,9 @@ def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False,
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             features, train=False, return_feat=False)
-        argmax_2d = jnp.argmax(out["probs"], -1).astype(jnp.int32)
+        # softmax is monotonic: argmax over logits is identical and lets
+        # XLA dead-code-eliminate the (B, H, W, C) softmax
+        argmax_2d = jnp.argmax(out["logits"], -1).astype(jnp.int32)
         if use_knn:
             from coarse3d_tpu.ops.knn import knn_postprocess
 
@@ -153,8 +155,7 @@ def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False,
         conf = confusion_matrix(
             point_pred, batch["point_label"], cfg.data.n_classes,
             valid=batch["point_valid"])
-        result = {"confusion": conf, "argmax_2d": argmax_2d,
-                  "probs": out["probs"]}
+        result = {"confusion": conf, "argmax_2d": argmax_2d}
         if return_point_pred:
             result["point_pred"] = point_pred
         return result
