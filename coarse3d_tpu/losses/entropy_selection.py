@@ -9,73 +9,51 @@ return the expanded pseudo label + its mask. The keep-ratio grows with epoch
 (trainer.py:656-661, see train.step.select_ratio_schedule).
 
 TPU design: `torch.multinomial(..., replacement=False)` per (image, class)
-becomes one Gumbel perturbation + a rank-within-class computed from a SINGLE
-sort of (class, quantized -score) composite int32 keys — Gumbel top-k is
-exactly weighted sampling without replacement, and k varies per class as a
-mask, not a shape.
+becomes Gumbel top-k — exactly weighted sampling without replacement — over
+ONE flat sort of the whole batch. Every per-point indexed op costs ~10 ns/row
+on the XLA gather/scatter engine (PERF.md "the point-op wall"), so the batch
+is folded into a single (image, class, quantized -score) composite int32 key
+stream and the per-(image, class) ranks/thresholds are recovered with
+gather-free segmented scans over the sorted keys:
+
+  * segment id rides in the key's high bits -> recovered by a shift, not a
+    gather of `seg[order]`;
+  * rank-within-segment = iota - run_start, with run_start from a running
+    max over segment starts (associative_scan), not `starts[sorted_seg]`;
+  * the per-segment keep budget k is scattered at the (at most n_seg) run
+    starts and forward-propagated by a flagged segmented scan, not gathered
+    per point.
+
+Only three point-rate ops remain: the sort itself, the weak-class-presence
+scatter, and the final unsort scatter. Measured on v5e at B=4 x 64x2048 this
+takes the selection stage from 28 ms (vmapped per-image sort + batched
+scatters/gathers) to ~half that.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-def _select_one_image(
-    probs, wss_mask, eval_mask, train_label, select_ratio, rng, ignore_cls,
-    n_classes,
-):
-    h, w, c = probs.shape
-    n = h * w
-    p = probs.reshape(n, c).astype(jnp.float32)
-    entropy = -jnp.sum(p * jnp.log(p + 1e-10), axis=-1)
-    pseudo = jnp.argmax(p, axis=-1).astype(jnp.int32)
-    eval_m = eval_mask.reshape(n)
-    wss_m = wss_mask.reshape(n)
-    gt = train_label.reshape(n).astype(jnp.int32)
 
-    pseudo = jnp.where(eval_m, pseudo, ignore_cls)
+def _run_starts(is_start: jnp.ndarray, iota: jnp.ndarray) -> jnp.ndarray:
+    """For each position, the index of its segment-run's first element."""
+    return lax.associative_scan(jnp.maximum, jnp.where(is_start, iota, 0))
 
-    # Gumbel top-k == multinomial without replacement over exp(-entropy):
-    # score = log(weight) + G = -entropy + G.
-    gumbel = jax.random.gumbel(rng, (n,), jnp.float32)
-    score = -entropy + gumbel
 
-    cand = eval_m & (pseudo != ignore_cls)
-    # single-sort rank-within-class: quantize the score into the low bits of
-    # a (class, -score) composite int32 key — one argsort instead of the two
-    # chained ones in ops.gather.rank_within_class. The score already carries
-    # O(1) gumbel noise, so 25-bit quantization (resolution ~5e-7 over the
-    # clamped [-8, 8] range) is statistically invisible.
-    q_bits = 25
-    assert n_classes < (1 << (31 - q_bits))
-    q = jnp.clip((score + 8.0) * ((1 << q_bits) / 16.0), 0,
-                 (1 << q_bits) - 1).astype(jnp.int32)
-    keys = jnp.where(
-        cand, pseudo, n_classes) * (1 << q_bits) + ((1 << q_bits) - 1 - q)
-    order = jnp.argsort(keys)
-    sorted_cls = jnp.where(cand, pseudo, n_classes)[order]
-    starts = jnp.searchsorted(
-        sorted_cls, jnp.arange(n_classes + 1, dtype=jnp.int32),
-        sorter=None)
-    counts = (starts[1:] - starts[:-1])[:n_classes]
-    pos_in_class = jnp.arange(n, dtype=jnp.int32) - starts[
-        jnp.clip(sorted_cls, 0, n_classes)]
-    ranks = jnp.full((n,), n, jnp.int32).at[order].set(pos_in_class)
-    ranks = jnp.where(cand, ranks, n)
+def _propagate_from_starts(values_at_starts: jnp.ndarray,
+                           is_start: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast each run-start's value forward across its run (flagged
+    segmented scan: combine((va, fa), (vb, fb)) = (vb if fb else va, fa|fb))."""
 
-    # classes eligible for expansion: present among this image's weak labels
-    weak_present = jnp.zeros((n_classes,), bool).at[
-        jnp.where(wss_m, gt, ignore_cls)].set(True, mode="drop")
-    weak_present = weak_present.at[ignore_cls].set(False)
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va), fa | fb
 
-    k_per_class = jnp.floor(
-        counts.astype(jnp.float32) * select_ratio).astype(jnp.int32)
-    k_eff = jnp.where(weak_present & (k_per_class >= 1), k_per_class, 0)
-
-    selected = ranks < k_eff[pseudo]
-    out = jnp.where(selected, pseudo, ignore_cls)
-    out = jnp.where(wss_m, gt, out)  # ground truth always wins
-    return out.reshape(h, w), (out != ignore_cls).reshape(h, w)
+    out, _ = lax.associative_scan(combine, (values_at_starts, is_start))
+    return out
 
 
 def entropy_based_selection(
@@ -99,11 +77,77 @@ def entropy_based_selection(
 
     Returns (pseudo_label (B, H, W) int32, pseudo_mask (B, H, W) bool).
     """
-    b = probs.shape[0]
-    n_classes = probs.shape[-1]
-    rngs = jax.random.split(rng, b)
-    ratio = jnp.asarray(select_ratio, jnp.float32)
-    return jax.vmap(
-        lambda p, wm, em, tl, r: _select_one_image(
-            p, wm, em, tl, ratio, r, ignore_cls, n_classes)
-    )(probs, wss_mask, eval_mask, train_label, rngs)
+    b, h, w, c = probs.shape
+    n = h * w
+    total = b * n
+    seg_per_img = c + 1  # classes 0..C-1 + non-candidate sentinel C
+    n_seg = b * seg_per_img
+    # quantized score width: segment id must fit in the remaining high bits
+    q_bits = 31 - max((n_seg - 1).bit_length(), 1)
+    assert q_bits >= 16, (b, c, q_bits)
+    q_max = (1 << q_bits) - 1
+
+    p = probs.reshape(total, c).astype(jnp.float32)
+    entropy = -jnp.sum(p * jnp.log(p + 1e-10), axis=-1)
+    pseudo = jnp.argmax(p, axis=-1).astype(jnp.int32)
+    eval_m = eval_mask.reshape(total)
+    wss_m = wss_mask.reshape(total)
+    gt = train_label.reshape(total).astype(jnp.int32)
+    pseudo = jnp.where(eval_m, pseudo, ignore_cls)
+
+    # Gumbel top-k == multinomial without replacement over exp(-entropy):
+    # score = log(weight) + G = -entropy + G. The score carries O(1) gumbel
+    # noise, so quantization at 2^-q_bits resolution over the clamped
+    # [-8, 8] range is statistically invisible.
+    gumbel = jax.random.gumbel(rng, (total,), jnp.float32)
+    score = -entropy + gumbel
+    cand = eval_m & (pseudo != ignore_cls)
+
+    img = lax.broadcasted_iota(jnp.int32, (b, n), 0).reshape(total)
+    seg = img * seg_per_img + jnp.where(cand, pseudo, c)
+    q = jnp.clip((score + 8.0) * ((1 << q_bits) / 16.0), 0,
+                 q_max).astype(jnp.int32)
+    keys = seg * (1 << q_bits) + (q_max - q)  # ascending seg, descending score
+
+    iota = lax.iota(jnp.int32, total)
+    sorted_keys, order = lax.sort_key_val(keys, iota)
+    sorted_seg = sorted_keys >> q_bits  # free: no seg[order] gather
+
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_seg[1:] != sorted_seg[:-1]])
+    rank = iota - _run_starts(is_start, iota)
+
+    # per-segment candidate counts: n_seg+1 binary searches, gather-free
+    starts = jnp.searchsorted(
+        sorted_seg, jnp.arange(n_seg + 1, dtype=jnp.int32))
+    counts = starts[1:] - starts[:-1]
+
+    # classes eligible for expansion: present among the image's weak labels
+    weak_seg = jnp.where(wss_m, img * seg_per_img + gt, n_seg)
+    weak_present = jnp.zeros((n_seg,), bool).at[weak_seg].set(
+        True, mode="drop")
+
+    seg_cls = jnp.arange(n_seg, dtype=jnp.int32) % seg_per_img
+    k_per_seg = jnp.floor(
+        counts.astype(jnp.float32)
+        * jnp.asarray(select_ratio, jnp.float32)).astype(jnp.int32)
+    k_eff = jnp.where(
+        weak_present & (seg_cls != ignore_cls) & (seg_cls != c)
+        & (k_per_seg >= 1),
+        k_per_seg, 0)
+
+    # scatter each nonempty segment's budget at its run start (<= n_seg
+    # descriptors), then propagate forward across the run
+    start_idx = jnp.where(counts > 0, starts[:-1], total)
+    k_at_start = jnp.zeros((total,), jnp.int32).at[start_idx].set(
+        k_eff, mode="drop")
+    k_run = _propagate_from_starts(k_at_start, is_start)
+    selected_sorted = rank < k_run
+
+    out_sorted = jnp.where(
+        selected_sorted, jnp.minimum(sorted_seg % seg_per_img, c - 1),
+        ignore_cls)
+    out = jnp.zeros((total,), jnp.int32).at[order].set(
+        out_sorted.astype(jnp.int32))  # the one unsort scatter
+    out = jnp.where(wss_m, gt, out)  # ground truth always wins
+    return out.reshape(b, h, w), (out != ignore_cls).reshape(b, h, w)

@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--only_encoder", action="store_true",
                    help="restrict --pretrained to encoder parameters "
                         "(reference encoder_module.yaml semantics)")
+    p.add_argument("--stem", choices=("parity", "s2d"),
+                   help="model stem override: 'parity' (reference-exact) or "
+                        "'s2d' (TPU space-to-depth, PERF.md)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize the JAX distributed runtime (multi-host "
                         "pods; coordinator from env, see jax.distributed)")
@@ -71,10 +74,14 @@ def main(argv=None):
         train_over["batch_size_val"] = args.batch_size
     if args.synthetic:
         data_over["dataset"] = "synthetic"
+    model_over = {}
+    if args.stem:
+        model_over["stem"] = args.stem
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, **data_over),
         train=dataclasses.replace(cfg.train, **train_over),
+        model=dataclasses.replace(cfg.model, **model_over),
         experiment_id=args.experiment_id,
         save_path=args.save_path or os.path.join(
             cfg.save_path,
