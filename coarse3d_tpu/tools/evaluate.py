@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--run_dir", help="training run dir (Orbax checkpoint)")
     p.add_argument("--knn", action="store_true",
                    help="apply KNN range post-processing")
+    p.add_argument("--crf", action="store_true",
+                   help="refine the 2D softmax with the locally-connected "
+                        "xyz CRF before argmax (the reference ships but "
+                        "never wires this module; default compat init)")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--synthetic", type=int, default=0)
@@ -100,8 +104,8 @@ def main(argv=None):
 
     state = replicate_to_mesh(state, mesh)
     eval_step = jax.jit(
-        make_eval_step(cfg, use_knn=args.knn, return_point_pred=bool(
-            args.save_preds)))
+        make_eval_step(cfg, use_knn=args.knn, use_crf=args.crf,
+                       return_point_pred=bool(args.save_preds)))
     evaluator = ConfusionState(cfg.data.n_classes,
                                ignore=(cfg.train.ignore_cls,))
     if args.save_preds:
@@ -151,6 +155,7 @@ def main(argv=None):
         "mIoU_3D": round(float(mean_iou), 4),
         "mAcc_3D": round(float(mean_acc), 4),
         "knn": bool(args.knn),
+        "crf": bool(args.crf),
         "scans": len(ds),
     }
     print(json.dumps(results))

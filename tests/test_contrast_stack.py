@@ -246,6 +246,36 @@ def test_selection_only_weak_present_classes_expand(rng):
     assert not (np.asarray(pseudo) == 3).any()
 
 
+def test_selection_prefers_low_entropy():
+    """Gumbel top-k over exp(-entropy) (trainer.py:459-496): with half the
+    image confidently predicted and half near-uniform, the confident half
+    must dominate the expanded set. Regression for the flat composite-key
+    quantization: a broken key layout would erase the score ordering."""
+    b, h, w, c = 1, 32, 64, 6
+    eps = 1e-4
+    probs = np.full((b, h, w, c), 1.0 / c, np.float32)
+    # left half: near-certain class 2 (entropy ~0, weight ~1); right half
+    # stays near-uniform (entropy ln 6, weight exp(-ln 6) ~ 0.17) but still
+    # argmaxes to class 2 by an epsilon tilt
+    probs[:, :, : w // 2, :] = eps
+    probs[:, :, : w // 2, 2] = 1.0 - eps * (c - 1)
+    probs[:, :, w // 2:, 2] += eps
+    probs /= probs.sum(-1, keepdims=True)
+    ev = np.ones((b, h, w), bool)
+    tl = np.zeros((b, h, w), np.int32)
+    tl[0, 0, 0] = 2  # class 2 weak-present
+    pseudo, _ = entropy_based_selection(
+        jnp.asarray(probs), jnp.asarray(tl > 0), jnp.asarray(ev),
+        jnp.asarray(tl), 0.3, jax.random.key(3))
+    sel = np.asarray(pseudo) == 2
+    left, right = sel[0, :, : w // 2].mean(), sel[0, :, w // 2:].mean()
+    # every candidate is class 2, so ~30% of candidates are kept overall;
+    # the Gumbel noise is O(1) so the ~6x weight ratio shows up as a strong
+    # (not total) preference for the confident half
+    assert left > 2.5 * right, (left, right)
+    assert 0.2 < (left + right) / 2 < 0.4, (left, right)
+
+
 # ---------------------------------------------------------------------------
 # contrastive loss
 # ---------------------------------------------------------------------------

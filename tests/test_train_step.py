@@ -123,3 +123,23 @@ def test_eval_step_with_knn(setup):
     # confusion total == valid point count
     assert int(np.asarray(out["confusion"]).sum()) == int(
         np.asarray(batch["point_valid"]).sum())
+
+
+def test_eval_step_with_crf(setup):
+    """Opt-in CRF refinement (the reference ships postproc/crf.py but never
+    exports or calls it): same confusion budget, valid labels, and it must
+    actually change some 2D argmax pixels vs the plain path."""
+    cfg, batch, state, _ = setup
+    import jax
+
+    from coarse3d_tpu.metrics import iou_from_confusion
+    from coarse3d_tpu.train.step import make_eval_step
+
+    plain = jax.jit(make_eval_step(cfg))(state, batch)
+    crf = jax.jit(make_eval_step(cfg, use_crf=True))(state, batch)
+    miou = float(iou_from_confusion(crf["confusion"])[0])
+    assert 0.0 <= miou <= 1.0
+    assert int(np.asarray(crf["confusion"]).sum()) == int(
+        np.asarray(batch["point_valid"]).sum())
+    assert (np.asarray(crf["argmax_2d"]) !=
+            np.asarray(plain["argmax_2d"])).any()
