@@ -79,7 +79,12 @@ def main(argv=None):
         print(f"note: batch_size {bs} shards over {n_mesh} of "
               f"{jax.local_device_count()} local devices; pick a multiple "
               f"of {jax.local_device_count()} to use them all")
-    mesh = make_mesh(n_mesh)
+    # host-LOCAL mesh: each process evaluates its own dataset stripe on its
+    # own chips and the partial confusions are reduced by process_allgather
+    # below. A global-device mesh here would make non-zero processes place
+    # their local batches on other hosts' devices (caught by
+    # tests/test_multiprocess.py).
+    mesh = make_mesh(n_mesh, devices=jax.local_devices())
     pipe = DataPipeline(ds, cfg, bs, train=False,
                         num_workers=args.num_workers)
     state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
