@@ -47,12 +47,41 @@ def make_mesh(
 
 
 def shard_batch(batch: dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Place a host batch dict on the mesh, sharded along the leading dim."""
+    """Place a host batch dict on the mesh, sharded along the leading dim.
+
+    Single process: a plain device_put. Multi-process (mesh spans hosts —
+    the DDP-launch analog): each process's batch is its *stripe* of the
+    global batch (DataPipeline index-stripes scans per host), assembled into
+    one global array via jax.make_array_from_process_local_data; device_put
+    cannot express per-process data on a non-addressable sharding
+    (tests/test_multiprocess.py::test_two_process_training)."""
     sharding = NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    if sharding.is_fully_addressable:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate_to_mesh(tree: Any, mesh: Mesh):
-    """Fully replicate a pytree (train state) across the mesh."""
+    """Fully replicate a pytree (train state) across the mesh.
+
+    Multi-process meshes need make_array_from_callback (only addressable
+    shards are materialized); every process holds the identical full value,
+    e.g. a seeded build_state."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+
+    def put(v):
+        if isinstance(v, jax.Array) and jax.dtypes.issubdtype(
+                v.dtype, jax.dtypes.prng_key):
+            data = put(np.asarray(jax.random.key_data(v)))
+            return jax.random.wrap_key_data(
+                data, impl=jax.random.key_impl(v))
+        v = np.asarray(v)
+        return jax.make_array_from_callback(
+            v.shape, sharding, lambda idx: v[idx])
+
+    return jax.tree.map(put, tree)

@@ -74,6 +74,61 @@ def _run_world(n: int) -> list[dict]:
     return results
 
 
+_TRAIN_CHILD = """
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=int(sys.argv[2]),
+                           process_id=int(sys.argv[3]))
+sys.path.insert(0, {repo!r})
+from coarse3d_tpu.tools.train import main
+# save_path is SHARED across ranks: orbax checkpointing is a collective
+# (all processes join its barriers; the primary writes) and the Recorder
+# is rank-0-only — mirroring a real pod with shared storage
+main(['--preset', 'tiny', '--synthetic', '8', '--synthetic_points', '1500',
+      '--epochs', '1', '--batch_size', '2', '--num_workers', '1',
+      '--save_path', sys.argv[4]])
+print('TRAIN DONE rank ' + sys.argv[3])
+"""
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    """The full train CLI under a 2-process jax.distributed world: per-host
+    pipeline stripes assemble into the global data-parallel batch
+    (jax.make_array_from_process_local_data in parallel.shard_batch) and one
+    epoch of the real Trainer completes with finite metrics on both ranks
+    (the torch.distributed.launch analog, run.sh:1)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                  if p])
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TRAIN_CHILD.format(repo=REPO),
+             coord, "2", str(i), str(tmp_path)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"rank {i} rc={p.returncode}\nstdout tail:\n"
+            + "\n".join(out.splitlines()[-5:]) + "\nstderr tail:\n"
+            + "\n".join(err.splitlines()[-15:]))
+        assert f"TRAIN DONE rank {i}" in out
+    # rank 0 recorded an epoch with finite losses and a validation pass
+    log = (tmp_path / "log" / "console.log").read_text()
+    assert "Train done" in log and "Validation done" in log
+    assert "nan" not in log.lower()
+    # the collective checkpoint save completed
+    assert (tmp_path / "checkpoint").exists()
+
+
 @pytest.mark.slow
 def test_two_process_evaluate_matches_single_process():
     """8 synthetic scans striped over 2 processes must produce EXACTLY the
