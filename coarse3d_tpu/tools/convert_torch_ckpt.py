@@ -217,6 +217,57 @@ def convert_state_dict(state_dict, net_type: str, layers: int = 21):
     return out
 
 
+def export_state_dict(variables, net_type: str, layers: int = 21):
+    """Inverse of convert_state_dict: coarse3d_tpu variables -> a torch
+    state_dict (name -> np array), so weights trained here can be loaded
+    back into the reference's own modules (MIGRATION.md round trip).
+
+    Args:
+      variables: {"params": ..., "batch_stats": ...[, "prototypes": ...]}
+        (parity stem; the s2d stem has no reference counterpart).
+
+    Returns (state_dict, missing_flax_paths).
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def get(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    sd: dict[str, np.ndarray] = {}
+    missing: list[str] = []
+    for entry in _ENTRIES[net_type](layers):
+        t, path = entry.torch_prefix, entry.flax_path
+        try:
+            if entry.kind in ("conv", "convT"):
+                kernel = get(params, path + ("kernel",))
+                if entry.kind == "conv":
+                    # (kh,kw,I,O) -> (O,I,kh,kw)
+                    sd[f"{t}.weight"] = kernel.transpose(3, 2, 0, 1).copy()
+                else:
+                    # unflip, then (kh,kw,I,O) -> (I,O,kh,kw)
+                    sd[f"{t}.weight"] = (
+                        kernel[::-1, ::-1].transpose(2, 3, 0, 1).copy())
+                node = params
+                for p in path:
+                    node = node[p]
+                if "bias" in node:
+                    sd[f"{t}.bias"] = np.asarray(node["bias"])
+            else:
+                sd[f"{t}.weight"] = get(params, path + ("scale",))
+                sd[f"{t}.bias"] = get(params, path + ("bias",))
+                sd[f"{t}.running_mean"] = get(batch_stats, path + ("mean",))
+                sd[f"{t}.running_var"] = get(batch_stats, path + ("var",))
+        except KeyError:
+            missing.append("/".join(path))
+    if "prototypes" in variables:
+        sd["prototypes"] = np.asarray(variables["prototypes"])
+    return sd, missing
+
+
 def load_torch_state_dict(path: str):
     """Load a .pth and unwrap the reference's model/model_state nesting."""
     import torch

@@ -22,6 +22,12 @@ import jax  # noqa: E402
 # remote compilation (~50s per trivial test).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by CPU
+# XLA compiles of the full train/eval steps (keyed by HLO hash — safe across
+# code edits; only unchanged programs hit).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -27,6 +27,8 @@ _CHILD = """
 import json, sys
 import jax
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_compile_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.distributed.initialize(coordinator_address=sys.argv[1],
                            num_processes=int(sys.argv[2]),
                            process_id=int(sys.argv[3]))
@@ -78,6 +80,8 @@ _TRAIN_CHILD = """
 import sys
 import jax
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_compile_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.distributed.initialize(coordinator_address=sys.argv[1],
                            num_processes=int(sys.argv[2]),
                            process_id=int(sys.argv[3]))

@@ -164,3 +164,103 @@ def test_prototypes_pass_through(torch_ref):
     ref = SalsaNextProto(nclasses=C)
     converted = convert_state_dict(_state_dict_np(ref), "salsanext")
     assert converted["prototypes"].shape == (C, 20, 256)
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: export our weights into the reference (MIGRATION round
+# trip, tools/export_torch_ckpt.py)
+# ---------------------------------------------------------------------------
+
+def test_export_roundtrip_exact(rng):
+    """export_state_dict must be the exact inverse of convert_state_dict on
+    every parameter and batch statistic (no torch needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from coarse3d_tpu.models import SalsaNext
+    from coarse3d_tpu.tools.convert_torch_ckpt import (
+        convert_state_dict,
+        export_state_dict,
+    )
+
+    model = SalsaNext(n_classes=C, dtype=jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(7)},
+        jnp.asarray(rng.normal(size=(1, H, W, 5)), jnp.float32), train=False,
+        return_feat=True)
+    variables = jax.tree.map(np.asarray, dict(variables))
+
+    sd, missing = export_state_dict(variables, "salsanext")
+    assert not missing, missing
+    back = convert_state_dict(sd, "salsanext")
+    assert "missing" not in back, back.get("missing")
+
+    flat_a = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back["params"])[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        np.testing.assert_array_equal(va, vb, err_msg=str(ka))
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_flatten_with_path(variables["batch_stats"])[0],
+            jax.tree_util.tree_flatten_with_path(back["batch_stats"])[0]):
+        assert ka == kb
+        np.testing.assert_array_equal(va, vb, err_msg=str(ka))
+
+
+def test_export_into_reference_forward(torch_ref, rng):
+    """Our randomly-initialized SalsaNext exported to a torch state_dict and
+    loaded into the reference's own SalsaNextProto must reproduce our
+    forward (composing the reference submodules as in
+    test_salsanext_forward_parity — defect #1's debug block)."""
+    torch = torch_ref
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from pc_processor.models.salsanext_proto import SalsaNextProto
+
+    from coarse3d_tpu.models import SalsaNext
+    from coarse3d_tpu.tools.convert_torch_ckpt import export_state_dict
+
+    model = SalsaNext(n_classes=C, dtype=jnp.float32)
+    x_np = rng.normal(size=(B, 5, H, W)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.key(3)},
+        jnp.asarray(x_np.transpose(0, 2, 3, 1)), train=False,
+        return_feat=True)
+    ours = model.apply(variables, jnp.asarray(x_np.transpose(0, 2, 3, 1)),
+                       train=False)
+
+    sd, missing = export_state_dict(
+        jax.tree.map(np.asarray, dict(variables)), "salsanext")
+    assert not missing, missing
+
+    ref = SalsaNextProto(nclasses=C)
+    result = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    # nothing unexpected; only reference-extra params may be missing
+    assert not result.unexpected_keys, result.unexpected_keys
+    allowed = ("feat_norm", "mask_norm", "prototypes", "fc", "proj")
+    for k in result.missing_keys:
+        assert k.startswith(allowed), k
+    ref.eval()
+
+    with torch.no_grad():
+        x = torch.from_numpy(x_np)
+        c = ref.downCntx3(ref.downCntx2(ref.downCntx(x)))
+        d0c, d0b = ref.resBlock1(c)
+        d1c, d1b = ref.resBlock2(d0c)
+        d2c, d2b = ref.resBlock3(d1c)
+        d3c, d3b = ref.resBlock4(d2c)
+        d5c = ref.resBlock5(d3c)
+        u4 = ref.upBlock1(d5c, d3b)
+        u3 = ref.upBlock2(u4, d2b)
+        u2 = ref.upBlock3(u3, d1b)
+        u1 = ref.upBlock4(u2, d0b)
+        want = F.softmax(ref.cls_head(u1), dim=1).numpy().transpose(
+            0, 2, 3, 1)
+
+    np.testing.assert_allclose(np.asarray(ours["probs"]), want,
+                               atol=2e-4, rtol=1e-3)
