@@ -81,25 +81,34 @@ def update_prototypes(
       cfg: contrast config (momentum, budget).
     """
     c, k, d = prototypes.shape
-    feat, sim, nearest = prototype_similarity(embedding, prototypes)
     protos = l2_normalize(prototypes.astype(jnp.float32))
 
     flat_label = label.reshape(-1).astype(jnp.int32)
     flat_valid = label_mask.reshape(-1) & (flat_label != ignore_cls)
-    pred = jnp.argmax(nearest, axis=-1).astype(jnp.int32)
 
     idx, valid = gather_class_indices(
         flat_label, flat_valid, c, cfg.max_pixels_per_class)  # (C, M)
 
-    # own-class similarity block per class: sim[idx[c], c, :]
-    sim_c = sim[idx, jnp.arange(c)[:, None], :]            # (C, M, K)
+    # Gather FIRST, normalize/contract after: only the (C, M) budgeted rows
+    # are ever consumed, so computing prototype_similarity over all B*H*W
+    # pixels (the reference shape, salsanext_proto.py:497-510) wastes ~13x
+    # the FLOPs and ~500 MB of LayerNorm traffic. Identical numerics — the
+    # per-row LN/l2/sim math doesn't depend on the other rows.
+    emb_flat = embedding.reshape(-1, d).astype(jnp.float32)
+    feat_c = l2_normalize(_layer_norm(emb_flat[idx]))       # (C, M, D)
+
+    sim_g = jnp.einsum("cmd,jkd->cmjk", feat_c, protos)     # (C, M, C, K)
+    nearest_g = _layer_norm(jnp.max(sim_g, axis=-1))        # mask_norm analog
+    pred_g = jnp.argmax(nearest_g, axis=-1).astype(jnp.int32)  # (C, M)
+
+    # own-class similarity block per class (== sim_g[c, :, c, :])
+    sim_c = jnp.einsum("cmd,ckd->cmk", feat_c, protos)      # (C, M, K)
     rngs = jax.random.split(rng, c)
     onehot, _ = jax.vmap(masked_sinkhorn)(sim_c, valid, rngs)  # (C, M, K)
 
-    agree = (pred[idx] == jnp.arange(c)[:, None]) & valid  # (C, M)
+    agree = (pred_g == jnp.arange(c)[:, None]) & valid      # (C, M)
     m_q = onehot * agree[..., None].astype(jnp.float32)
 
-    feat_c = feat[idx]                                      # (C, M, D)
     f = jnp.einsum("cmk,cmd->ckd", m_q, feat_c)             # (C, K, D)
     n = m_q.sum(axis=1)                                     # (C, K)
 
