@@ -32,6 +32,11 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.distributed.initialize(coordinator_address=sys.argv[1],
                            num_processes=int(sys.argv[2]),
                            process_id=int(sys.argv[3]))
+# establish the Gloo context while both ranks are at the same early point:
+# the first collective triggers context init with a ~30 s rendezvous
+# timeout, which a compile-skewed rank could miss under load
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices('start')
 sys.path.insert(0, {repo!r})
 from coarse3d_tpu.tools.evaluate import main
 res = main(['--preset', 'tiny', '--synthetic', '8', '--batch_size', '2',
@@ -85,6 +90,11 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.distributed.initialize(coordinator_address=sys.argv[1],
                            num_processes=int(sys.argv[2]),
                            process_id=int(sys.argv[3]))
+# establish the Gloo context while both ranks are at the same early point:
+# the first collective triggers context init with a ~30 s rendezvous
+# timeout, which a compile-skewed rank could miss under load
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices('start')
 sys.path.insert(0, {repo!r})
 from coarse3d_tpu.tools.train import main
 # save_path is SHARED across ranks: orbax checkpointing is a collective
