@@ -7,6 +7,7 @@ from coarse3d_tpu.configs.config import (
     ModelConfig,
     SensorSpec,
     TrainConfig,
+    apply_overrides,
     load_config,
     preset,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "ModelConfig",
     "SensorSpec",
     "TrainConfig",
+    "apply_overrides",
     "load_config",
     "preset",
 ]

@@ -297,3 +297,37 @@ def load_config(path: str) -> ExperimentConfig:
         raw = yaml.safe_load(f) or {}
     cfg = preset(raw.pop("preset", "semantic_kitti"))
     return _update_dataclass(cfg, raw)
+
+
+def apply_overrides(cfg: ExperimentConfig,
+                    assignments: list[str]) -> ExperimentConfig:
+    """Apply `section.key=value` CLI overrides (values parsed as YAML, so
+    `train.lr=0.02`, `contrast.loss_w_contrast=0`, `model.stem=s2d`,
+    `data.cls_counts=[0,1,2]` all coerce to the right types). The reference
+    has no CLI overrides beyond --id (option.py); this replaces hand-editing
+    the task YAML for one-off experiments."""
+    nested: dict = {}
+    for item in assignments:
+        key, sep, value = item.partition("=")
+        if not sep:
+            raise ValueError(f"--set expects section.key=value, got {item!r}")
+        node = nested
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(value)
+    # error on unknown keys instead of silently ignoring them
+    def check(obj, tree, prefix=""):
+        names = {f.name for f in dataclasses.fields(obj)}
+        for k, v in tree.items():
+            if k not in names:
+                raise ValueError(
+                    f"--set: unknown config field {prefix + k!r}")
+            cur = getattr(obj, k)
+            if isinstance(v, Mapping):
+                if not dataclasses.is_dataclass(cur):
+                    raise ValueError(
+                        f"--set: {prefix + k!r} is not a section")
+                check(cur, v, prefix + k + ".")
+    check(cfg, nested)
+    return _update_dataclass(cfg, nested)

@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, e.g. --set knn.search=7 "
+                        "(values parsed as YAML; repeatable)")
     p.add_argument("--save_preds", metavar="DIR",
                    help="write per-scan predictions as raw-id .label files "
                         "(SemanticKITTI benchmark submission format, via the "
@@ -43,7 +47,7 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from coarse3d_tpu.configs import load_config, preset
+    from coarse3d_tpu.configs import apply_overrides, load_config, preset
     from coarse3d_tpu.data.pipeline import DataPipeline
     from coarse3d_tpu.metrics import ConfusionState
     from coarse3d_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
@@ -51,6 +55,8 @@ def main(argv=None):
     from coarse3d_tpu.train.step import make_eval_step
 
     cfg = load_config(args.config) if args.config else preset(args.preset)
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
     over = {}
     if args.pcd_root:
         over["pcd_root"] = args.pcd_root

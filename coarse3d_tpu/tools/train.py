@@ -39,6 +39,11 @@ def main(argv=None):
     p.add_argument("--only_encoder", action="store_true",
                    help="restrict --pretrained to encoder parameters "
                         "(reference encoder_module.yaml semantics)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, e.g. --set train.lr=0.02 "
+                        "--set contrast.loss_w_contrast=0 (values parsed "
+                        "as YAML; repeatable)")
     p.add_argument("--stem", choices=("parity", "s2d"),
                    help="model stem override: 'parity' (reference-exact) or "
                         "'s2d' (TPU space-to-depth, PERF.md)")
@@ -55,12 +60,14 @@ def main(argv=None):
 
         jax.distributed.initialize()
 
-    from coarse3d_tpu.configs import load_config, preset
+    from coarse3d_tpu.configs import apply_overrides, load_config, preset
     from coarse3d_tpu.data.pipeline import DataPipeline
     from coarse3d_tpu.train.trainer import Trainer
     from coarse3d_tpu.utils import Recorder
 
     cfg = load_config(args.config) if args.config else preset(args.preset)
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
 
     data_over = {}
     for key in ("pcd_root", "weak_root", "weak_label_name"):

@@ -167,3 +167,46 @@ def test_visualize_cli(tmp_path, rng):
     with open(tmp_path / "vis" / "000000_gt.ply", "rb") as f:
         head = f.read(200).decode(errors="ignore")
     assert "element vertex 3000" in head
+
+
+def test_apply_overrides():
+    """--set section.key=value CLI overrides: YAML-typed values, nested
+    sections, unknown keys rejected."""
+    import pytest
+
+    from coarse3d_tpu.configs import apply_overrides, preset
+
+    cfg = preset("tiny")
+    out = apply_overrides(cfg, [
+        "train.lr=0.02",
+        "contrast.loss_w_contrast=0",
+        "model.stem=s2d",
+        "knn.search=7",
+    ])
+    assert out.train.lr == 0.02
+    assert out.contrast.loss_w_contrast == 0
+    assert out.model.stem == "s2d"
+    assert out.knn.search == 7
+    # untouched fields survive
+    assert out.data.n_classes == cfg.data.n_classes
+
+    with pytest.raises(ValueError, match="unknown config field"):
+        apply_overrides(cfg, ["train.no_such_field=1"])
+    with pytest.raises(ValueError, match="not a section"):
+        apply_overrides(cfg, ["train.lr.nested=1"])
+    with pytest.raises(ValueError, match="section.key=value"):
+        apply_overrides(cfg, ["train.lr"])
+
+
+def test_train_cli_set_override(tmp_path):
+    """--set reaches the Trainer config through the train CLI."""
+    import json
+
+    from coarse3d_tpu.tools.train import main as train_main
+
+    save = tmp_path / "run"
+    train_main(["--preset", "tiny", "--synthetic", "2", "--synthetic_points",
+                "500", "--epochs", "1", "--batch_size", "2", "--num_workers",
+                "1", "--set", "train.lr=0.12345", "--save_path", str(save)])
+    settings = json.loads((save / "settings.json").read_text())
+    assert settings["train"]["lr"] == 0.12345
