@@ -73,8 +73,13 @@ def sample_anchors(
         lambda cd, uu: jnp.searchsorted(cd, uu, side="right")))(cdf, u)
     draws = jnp.clip(draws, 0, n - 1).astype(jnp.int32)      # (B, C, A)
 
-    anchors = jnp.take_along_axis(
-        feat[:, None, :, :], draws[..., None], axis=2)       # (B, C, A, D)
+    # flat row-gather with the batch folded into the row index (house
+    # pattern, PERF.md "the point-op wall"; at this size — 41k rows —
+    # measured equal to batched take_along_axis, kept for uniformity)
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    anchors = jnp.take(
+        feat.reshape(b * n, d), (base + draws).reshape(-1), axis=0,
+        mode="clip").reshape(b, c, num_anchor, d)
     return anchors, cls_ids, valid
 
 
