@@ -210,3 +210,46 @@ def test_train_cli_set_override(tmp_path):
                 "1", "--set", "train.lr=0.12345", "--save_path", str(save)])
     settings = json.loads((save / "settings.json").read_text())
     assert settings["train"]["lr"] == 0.12345
+
+
+def test_infer_cli(tmp_path, rng):
+    """Standalone inference CLI: raw .bin scans -> per-scan .label files,
+    no dataset tree or ground truth required (the reference has no such
+    entry point — predictions only fall out of its Validation mode)."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.tools.infer import main as infer_main
+    from coarse3d_tpu.train.setup import build_model
+
+    cfg = preset("tiny")
+    # three raw scans of different sizes
+    scan_dir = tmp_path / "scans"
+    scan_dir.mkdir()
+    counts = [700, 900, 801]
+    for i, n in enumerate(counts):
+        pts = (rng.normal(size=(n, 4)) * [10, 10, 2, 0]).astype(np.float32)
+        pts[:, 3] = rng.random(n)
+        pts.tofile(scan_dir / f"{i:06d}.bin")
+
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, cfg.sensor.proj_h, cfg.sensor.proj_w,
+                   cfg.model.in_channels), jnp.float32), train=False)
+    weights = tmp_path / "w.msgpack"
+    weights.write_bytes(flax.serialization.msgpack_serialize(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}))
+
+    out = tmp_path / "preds"
+    infer_main(["--preset", "tiny", "--weights", str(weights),
+                "--scan_dir", str(scan_dir), "--out", str(out),
+                "--batch_size", "2"])
+    for i, n in enumerate(counts):
+        pred = np.fromfile(out / f"{i:06d}.label", dtype=np.int32)
+        assert pred.shape == (n,)
+        assert (pred >= 0).all() and (pred < cfg.data.n_classes).all()
