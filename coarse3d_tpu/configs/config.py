@@ -260,7 +260,15 @@ def preset(name: str) -> ExperimentConfig:
                 n_classes=17,
                 train_seq=(),
                 val_seq=(),
-                max_points=150000,
+                # padding budget only — results are identical for any scan
+                # that fits. HDL32E sweeps are <= ~35k points; the
+                # reference's 150000 is the KITTI constant copied over
+                # (wss_nuscenes_loader.py:19) and makes every point-rate op
+                # (projection scatter, KNN gather, unprojection) run at
+                # ~20% occupancy: 69.8 -> 129.4 scans/s/chip from this
+                # field alone (PERF.md). pad_points fails loudly if a scan
+                # ever exceeds it.
+                max_points=40000,
                 cls_counts=_NUSC_CLS_COUNTS,
             ),
             sensor=SensorSpec(
@@ -273,6 +281,15 @@ def preset(name: str) -> ExperimentConfig:
                 img_stds=(12.1666, 9.9376, 11.592, 1.7673, 22.0192),
             ),
         )
+    if name in ("nuscenes_32", "nusc32"):
+        # TPU-native opt-in: the reference projects the 32-beam HDL32E onto
+        # a 64-row image (config_nuscenes.yaml keeps the KITTI 64x2048 grid),
+        # so every other row is empty and the convs do 2x the work. A 32-row
+        # grid matches the sensor; NOT weight-compatible with reference
+        # checkpoints (like ModelConfig.stem="s2d" — see PERF.md).
+        cfg = preset("nuscenes")
+        return dataclasses.replace(
+            cfg, sensor=dataclasses.replace(cfg.sensor, proj_h=32))
     raise ValueError(f"unknown preset: {name}")
 
 

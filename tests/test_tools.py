@@ -253,3 +253,32 @@ def test_infer_cli(tmp_path, rng):
         pred = np.fromfile(out / f"{i:06d}.label", dtype=np.int32)
         assert pred.shape == (n,)
         assert (pred >= 0).all() and (pred < cfg.data.n_classes).all()
+
+
+def test_nuscenes_32_preset():
+    """Opt-in sensor-native 32-row nuScenes grid: same config otherwise,
+    model still builds (32 % 16 == 0) and a forward runs at the half-height
+    geometry."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.train.setup import build_model
+
+    cfg = preset("nuscenes_32")
+    base = preset("nuscenes")
+    assert cfg.sensor.proj_h == 32 and base.sensor.proj_h == 64
+    assert cfg.data == base.data and cfg.sensor.proj_w == base.sensor.proj_w
+
+    # tiny-width forward to keep the CPU compile fast
+    cfg = dataclasses.replace(
+        cfg,
+        sensor=dataclasses.replace(cfg.sensor, proj_w=64),
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    model = build_model(cfg)
+    x = jnp.zeros((1, 32, 64, cfg.model.in_channels), jnp.float32)
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out["probs"].shape == (1, 32, 64, cfg.data.n_classes)
