@@ -346,5 +346,11 @@ def apply_overrides(cfg: ExperimentConfig,
                     raise ValueError(
                         f"--set: {prefix + k!r} is not a section")
                 check(cur, v, prefix + k + ".")
+            elif dataclasses.is_dataclass(cur):
+                # e.g. `--set train=0.01` (missing the `.lr`): replacing a
+                # whole section with a scalar would blow up much later
+                raise ValueError(
+                    f"--set: {prefix + k!r} is a config section; set a "
+                    f"field inside it, e.g. {prefix + k}.<field>=...")
     check(cfg, nested)
     return _update_dataclass(cfg, nested)

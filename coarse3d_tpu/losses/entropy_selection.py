@@ -122,8 +122,12 @@ def entropy_based_selection(
         sorted_seg, jnp.arange(n_seg + 1, dtype=jnp.int32))
     counts = starts[1:] - starts[:-1]
 
-    # classes eligible for expansion: present among the image's weak labels
-    weak_seg = jnp.where(wss_m, img * seg_per_img + gt, n_seg)
+    # classes eligible for expansion: present among the image's weak labels.
+    # Out-of-range labels must be masked HERE, not left to mode='drop': the
+    # composite index img*seg_per_img + gt with gt >= seg_per_img lands in
+    # the NEXT image's segment range while staying globally in bounds.
+    weak_seg = jnp.where(wss_m & (gt >= 0) & (gt < c),
+                         img * seg_per_img + gt, n_seg)
     weak_present = jnp.zeros((n_seg,), bool).at[weak_seg].set(
         True, mode="drop")
 

@@ -48,6 +48,10 @@ def main(argv=None):
 
         with open(args.msgpack, "rb") as f:
             variables = flax.serialization.msgpack_restore(f.read())
+        if "cls_head_s2d" in variables.get("params", {}):
+            raise SystemExit(
+                "these weights use the s2d stem (cls_head_s2d present); "
+                "only the parity stem maps onto the reference architecture")
         epoch = None
     else:
         import dataclasses

@@ -48,7 +48,7 @@ def main(argv=None):
     from coarse3d_tpu.data.readers import read_kitti_scan, read_nuscenes_scan
     from coarse3d_tpu.data.synthetic import pad_points
     from coarse3d_tpu.eval.inference import make_inference_fn
-    from coarse3d_tpu.train.setup import build_model, build_state
+    from coarse3d_tpu.train.setup import build_model
 
     cfg = load_config(args.config) if args.config else preset(args.preset)
     if args.overrides:
@@ -63,8 +63,6 @@ def main(argv=None):
         raise SystemExit("no scans given (--scans / --scan_dir)")
 
     model = build_model(cfg)
-    state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
-                        batch_size=1)
     if args.weights:
         import flax.serialization
 
@@ -74,7 +72,11 @@ def main(argv=None):
                      "batch_stats": conv["batch_stats"]}
     else:
         from coarse3d_tpu.train.checkpoint import CheckpointManager
+        from coarse3d_tpu.train.setup import build_state
 
+        # only the restore template needs a built state
+        state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
+                            batch_size=1)
         ckpt = CheckpointManager(args.run_dir)
         state, _ = ckpt.restore(state)
         ckpt.close()
@@ -89,6 +91,21 @@ def main(argv=None):
         spec = None if args.train_ids else get_label_spec(cfg.data.dataset)
     except KeyError:
         spec = None
+
+    # output names: scan basename, disambiguated by the parent directory
+    # when basenames collide (e.g. frame 000001.bin from two sequences)
+    def stem(path):
+        return os.path.splitext(os.path.basename(path))[0]
+
+    names = [stem(p) for p in paths]
+    if len(set(names)) < len(names):
+        names = [f"{os.path.basename(os.path.dirname(os.path.abspath(p)))}"
+                 f"_{stem(p)}" for p in paths]
+        if len(set(names)) < len(names):
+            raise SystemExit(
+                "output filenames collide even with parent-directory "
+                "prefixes; pass scans from distinct directories or rename")
+    out_names = {p: n + ".label" for p, n in zip(paths, names)}
 
     os.makedirs(args.out, exist_ok=True)
     bs = args.batch_size
@@ -112,8 +129,7 @@ def main(argv=None):
             pred = labels[j, :counts[j]].astype(np.int32)
             if spec is not None:
                 pred = spec.unmap_labels(pred).astype(np.int32)
-            name = os.path.splitext(os.path.basename(path))[0] + ".label"
-            pred.tofile(os.path.join(args.out, name))
+            pred.tofile(os.path.join(args.out, out_names[path]))
         print(f"{min(start + bs, len(paths))}/{len(paths)} scans")
     print(f"wrote {len(paths)} .label files -> {args.out}")
 

@@ -402,3 +402,25 @@ def test_sinkhorn_hard_sample_is_noise_dominated(rng):
     # noise-free argmax and gumbel-hard agree barely above chance (1/k)
     assert agreement < 0.5, agreement
     assert agreement > 0.0
+
+
+def test_selection_out_of_range_weak_label_does_not_leak():
+    """Regression (flat-segment rewrite): a corrupt weak label gt >= C in
+    image i maps to composite index i*(C+1) + gt, which lands inside image
+    i+1's segment range while staying globally in bounds — it must be
+    masked, not relied on mode='drop'."""
+    b, h, w, c = 2, 16, 32, 6
+    probs = np.full((b, h, w, c), 1.0 / c, np.float32)
+    probs[..., 2] += 1e-3  # argmax everywhere class 2
+    probs /= probs.sum(-1, keepdims=True)
+    ev = np.ones((b, h, w), bool)
+    tl = np.zeros((b, h, w), np.int32)
+    # corrupt label: img0_seg + gt = 0*(c+1) + (c+3) lands in image 1's
+    # range as class (c+3)-(c+1) = 2 — exactly image 1's argmax class
+    tl[0, 0, 0] = c + 3
+    wss = tl > 0
+    pseudo, _ = entropy_based_selection(
+        jnp.asarray(probs), jnp.asarray(wss), jnp.asarray(ev),
+        jnp.asarray(tl), 0.5, jax.random.key(0))
+    # image 1 has NO weak labels -> nothing may expand there
+    assert not (np.asarray(pseudo)[1] != 0).any()

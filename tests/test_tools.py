@@ -196,6 +196,8 @@ def test_apply_overrides():
         apply_overrides(cfg, ["train.lr.nested=1"])
     with pytest.raises(ValueError, match="section.key=value"):
         apply_overrides(cfg, ["train.lr"])
+    with pytest.raises(ValueError, match="is a config section"):
+        apply_overrides(cfg, ["train=0.01"])  # typo'd --set train.lr=0.01
 
 
 def test_train_cli_set_override(tmp_path):
@@ -282,3 +284,41 @@ def test_nuscenes_32_preset():
     v = model.init({"params": jax.random.key(0)}, x, train=False)
     out = model.apply(v, x, train=False)
     assert out["probs"].shape == (1, 32, 64, cfg.data.n_classes)
+
+
+def test_infer_cli_basename_collision(tmp_path, rng):
+    """Scans with equal basenames from different directories must not
+    silently overwrite each other's .label outputs."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.tools.infer import main as infer_main
+    from coarse3d_tpu.train.setup import build_model
+
+    cfg = preset("tiny")
+    scans = []
+    for seq in ("s00", "s08"):
+        d = tmp_path / seq
+        d.mkdir()
+        pts = (rng.normal(size=(500, 4)) * [10, 10, 2, 0]).astype(np.float32)
+        pts.tofile(d / "000001.bin")
+        scans.append(str(d / "000001.bin"))
+
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, cfg.sensor.proj_h, cfg.sensor.proj_w,
+                   cfg.model.in_channels), jnp.float32), train=False)
+    weights = tmp_path / "w.msgpack"
+    weights.write_bytes(flax.serialization.msgpack_serialize(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}))
+
+    out = tmp_path / "preds"
+    infer_main(["--preset", "tiny", "--weights", str(weights),
+                "--scans", *scans, "--out", str(out), "--batch_size", "2"])
+    assert sorted(os.listdir(out)) == ["s00_000001.label",
+                                      "s08_000001.label"]
