@@ -332,7 +332,14 @@ def apply_overrides(cfg: ExperimentConfig,
         parts = key.strip().split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = yaml.safe_load(value)
+        parsed = yaml.safe_load(value)
+        if parsed is None and value.strip() not in ("null", "~", "None"):
+            # `--set train.lr=` parses to None and would surface as a
+            # confusing failure deep in training; demand an explicit null
+            raise ValueError(
+                f"--set: empty value for {key.strip()!r} (write "
+                f"{key.strip()}=null if you really mean None)")
+        node[parts[-1]] = parsed
     # error on unknown keys instead of silently ignoring them
     def check(obj, tree, prefix=""):
         names = {f.name for f in dataclasses.fields(obj)}

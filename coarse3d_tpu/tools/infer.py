@@ -90,6 +90,11 @@ def main(argv=None):
     try:
         spec = None if args.train_ids else get_label_spec(cfg.data.dataset)
     except KeyError:
+        import sys
+
+        print(f"WARNING: dataset {cfg.data.dataset!r} has no raw-id label "
+              "map; writing train ids (as if --train_ids were passed)",
+              file=sys.stderr)
         spec = None
 
     # output names: scan basename, disambiguated by the parent directory

@@ -52,6 +52,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _communicate_all(procs, timeout=900):
+    """communicate() on every rank, killing ALL ranks if any hangs.
+
+    A bare sequential communicate would leak both children on
+    TimeoutExpired (they hold the coordinator port and wedge later runs)
+    and can deadlock on a full pipe if the not-yet-drained rank floods
+    stderr. Threaded drains + a finally-kill avoid both."""
+    import concurrent.futures
+
+    try:
+        with concurrent.futures.ThreadPoolExecutor(len(procs)) as pool:
+            futs = [pool.submit(p.communicate, timeout) for p in procs]
+            return [f.result(timeout=timeout + 30) for f in futs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+
 def _run_world(n: int) -> list[dict]:
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
@@ -68,7 +88,7 @@ def _run_world(n: int) -> list[dict]:
             stderr=subprocess.PIPE, text=True)
         for i in range(n)
     ]
-    outs = [p.communicate(timeout=900) for p in procs]
+    outs = _communicate_all(procs)
     results = []
     for i, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
@@ -128,7 +148,7 @@ def test_two_process_training(tmp_path):
             stderr=subprocess.PIPE, text=True)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=900) for p in procs]
+    outs = _communicate_all(procs)
     for i, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             f"rank {i} rc={p.returncode}\nstdout tail:\n"

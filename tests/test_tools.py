@@ -198,6 +198,10 @@ def test_apply_overrides():
         apply_overrides(cfg, ["train.lr"])
     with pytest.raises(ValueError, match="is a config section"):
         apply_overrides(cfg, ["train=0.01"])  # typo'd --set train.lr=0.01
+    with pytest.raises(ValueError, match="empty value"):
+        apply_overrides(cfg, ["train.lr="])  # would silently become None
+    # an explicit null is allowed through (YAML semantics preserved)
+    assert apply_overrides(cfg, ["train.lr=null"]).train.lr is None
 
 
 def test_train_cli_set_override(tmp_path):
