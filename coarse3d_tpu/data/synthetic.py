@@ -78,6 +78,128 @@ class SyntheticDataset:
             rng, self.n_points, self.n_classes, self.sensor, self.weak_ratio)
 
 
+def texture_periods(
+    n_classes: int, cell_px: float, modes_per_class: int = 2,
+    min_period_px: float = 5.0,
+) -> np.ndarray:
+    """Per-(class, mode) intensity stripe periods, in *pixels* of the range
+    image, geometrically spaced between `min_period_px` and ~1/3 of the
+    segment width (so several full periods are observable inside every
+    segment) and interleaved so each class's modes sit far apart while
+    adjacent classes differ by only one ratio step.
+
+    Pixel units keep the task difficulty resolution-independent: the tiny
+    CPU grids and the 64x2048 KITTI grid see the same stripe widths.
+    """
+    m = n_classes - 1  # real classes; 0 is ignore
+    slots = m * modes_per_class
+    lo = min_period_px
+    hi = max(cell_px / 3.0, lo * 2)
+    series = lo * (hi / lo) ** (np.arange(slots) / max(slots - 1, 1))
+    table = np.zeros((n_classes, modes_per_class), np.float64)
+    for i in range(m):
+        for j in range(modes_per_class):
+            table[i + 1, j] = series[j * m + i]
+    return table
+
+
+def synthetic_hard_scan(
+    rng: np.random.Generator,
+    n_points: int,
+    n_classes: int,
+    sensor: SensorSpec,
+    weak_ratio: float = 0.0001,
+    n_segments: int = 16,
+    modes_per_class: int = 2,
+    noise: float = 0.15,
+    weak_label_noise: float = 0.0,
+) -> dict[str, np.ndarray]:
+    """A scan whose classes are *geometrically indistinguishable*.
+
+    The elevation-band task (`synthetic_scan`) is solvable from per-pixel
+    pitch alone, so the contrast/selection machinery has nothing to add (the
+    round-2 ablation's null result). Here the scene is a random partition of
+    the yaw axis into full-height sectors; every class has the same
+    depth/elevation distribution, and the ONLY class signal is the angular
+    frequency of an intensity stripe pattern (class -> one of
+    `modes_per_class` stripe periods, random phase per sector; square wave,
+    so the per-pixel intensity marginal is the same two-level mixture for
+    every class). A single pixel is uninformative; classification requires
+    spatial context, and with ~0.01% weak labels whole (class, mode) texture
+    modes go unlabeled — the regime the prototype-contrast machinery
+    (sub-prototypes per class, pseudo-label expansion; reference
+    contrast_pixel_loss.py:8-195, trainer.py:654-690) exists to handle.
+    """
+    yaw_lo, yaw_hi = np.radians(sensor.fov_left), np.radians(sensor.fov_right)
+    pit_lo, pit_hi = np.radians(sensor.fov_down), np.radians(sensor.fov_up)
+    yaw = rng.uniform(yaw_lo, yaw_hi, n_points)
+    pitch = rng.uniform(pit_lo, pit_hi, n_points)
+    depth = rng.gamma(shape=2.0, scale=8.0, size=n_points).clip(1.5, 80.0)
+
+    x = depth * np.cos(pitch) * np.cos(-yaw)
+    y = depth * np.cos(pitch) * np.sin(-yaw)
+    z = depth * np.sin(pitch)
+
+    # random full-height yaw sectors (1D Voronoi, wrapping at the 360 seam)
+    su = rng.uniform(0.0, 1.0, n_segments)
+    u = (yaw - yaw_lo) / (yaw_hi - yaw_lo)
+    du = np.abs(u[:, None] - su[None, :])
+    du = np.minimum(du, 1.0 - du)
+    seg = np.argmin(du, axis=1)
+
+    seg_class = rng.integers(1, n_classes, n_segments).astype(np.int32)
+    seg_mode = rng.integers(0, modes_per_class, n_segments)
+    seg_phase = rng.uniform(0.0, 2 * np.pi, n_segments)
+
+    periods = texture_periods(
+        n_classes, sensor.proj_w / n_segments, modes_per_class)
+    # cycles per radian of yaw such that one period spans `periods` pixels
+    freq = (sensor.proj_w / periods[seg_class, seg_mode]
+            ) * 2 * np.pi / (yaw_hi - yaw_lo)
+    wave = np.sign(np.sin(freq[seg] * yaw + seg_phase[seg]))
+    intensity = (0.5 + 0.35 * wave
+                 + rng.normal(0.0, noise, n_points)).clip(0.0, 1.0)
+
+    points = np.stack([x, y, z, intensity], axis=1).astype(np.float32)
+    labels = seg_class[seg]
+
+    weak = np.zeros(n_points, dtype=np.int32)
+    n_weak = max(1, int(round(n_points * weak_ratio)))
+    weak_idx = rng.choice(n_points, size=n_weak, replace=False)
+    weak_lbl = labels[weak_idx].copy()
+    if weak_label_noise > 0:
+        flip = rng.random(n_weak) < weak_label_noise
+        weak_lbl = np.where(
+            flip, rng.integers(1, n_classes, n_weak), weak_lbl)
+    weak[weak_idx] = weak_lbl
+    return {"points": points, "labels": labels, "weak_labels": weak}
+
+
+class SyntheticHardDataset(SyntheticDataset):
+    """Catalog over `synthetic_hard_scan` (the contrast-ablation benchmark)."""
+
+    name = "synthetic_hard"
+
+    def __init__(self, n_scans, n_points, n_classes, sensor,
+                 weak_ratio: float = 0.0001, seed: int = 0,
+                 n_segments: int = 16, modes_per_class: int = 2,
+                 noise: float = 0.15, weak_label_noise: float = 0.0):
+        super().__init__(n_scans, n_points, n_classes, sensor,
+                         weak_ratio=weak_ratio, seed=seed)
+        self.n_segments = n_segments
+        self.modes_per_class = modes_per_class
+        self.noise = noise
+        self.weak_label_noise = weak_label_noise
+
+    def load(self, index: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed, index))
+        return synthetic_hard_scan(
+            rng, self.n_points, self.n_classes, self.sensor,
+            weak_ratio=self.weak_ratio, n_segments=self.n_segments,
+            modes_per_class=self.modes_per_class, noise=self.noise,
+            weak_label_noise=self.weak_label_noise)
+
+
 def synthetic_batch(
     rng: np.random.Generator,
     cfg,

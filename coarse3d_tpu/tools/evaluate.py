@@ -39,9 +39,14 @@ def main(argv=None):
                    help="config override, e.g. --set knn.search=7 "
                         "(values parsed as YAML; repeatable)")
     p.add_argument("--save_preds", metavar="DIR",
-                   help="write per-scan predictions as raw-id .label files "
-                        "(SemanticKITTI benchmark submission format, via the "
-                        "inverse learning map)")
+                   help="write per-scan predictions in the benchmark "
+                        "submission layout: sequences/NN/predictions/"
+                        "FFFFFF.label uint32 raw ids (KITTI/POSS) or "
+                        "lidarseg/<split>/<token>_lidarseg.bin uint8 "
+                        "(nuScenes) — see eval/submission.py")
+    p.add_argument("--split", default="val",
+                   help="split name stamped into the nuScenes submission "
+                        "tree (val/test)")
     args = p.parse_args(argv)
 
     import jax
@@ -120,10 +125,11 @@ def main(argv=None):
     evaluator = ConfusionState(cfg.data.n_classes,
                                ignore=(cfg.train.ignore_cls,))
     if args.save_preds:
-        import os
+        from coarse3d_tpu.eval.submission import SubmissionWriter
 
-        os.makedirs(args.save_preds, exist_ok=True)
-        spec = getattr(ds, "label_spec", None)
+        writer = SubmissionWriter(
+            args.save_preds, cfg.data.dataset,
+            label_spec=getattr(ds, "label_spec", None), split=args.split)
     for i, host_batch in enumerate(pipe.epoch(0)):
         batch = shard_batch(host_batch, mesh)
         out = eval_step(state, batch)
@@ -138,13 +144,11 @@ def main(argv=None):
                 if scan_index < 0:
                     continue
                 seq_id, frame_id = ds.path_info(int(scan_index))
-                pred = preds[bidx][valids[bidx]]
-                if spec is not None:
-                    pred = spec.unmap_labels(pred)
-                pred.astype(np.int32).tofile(
-                    f"{args.save_preds}/{seq_id}_{frame_id}.label")
+                writer.write(seq_id, frame_id, preds[bidx][valids[bidx]])
         if i % 20 == 0:
             print(f"batch {i + 1}/{pipe.steps_per_epoch()}")
+    if args.save_preds:
+        writer.finalize()
 
     if jax.process_count() > 1:
         # the pipeline index-stripes scans per host and the eval mesh is

@@ -35,6 +35,15 @@ def main(argv=None):
     p.add_argument("--train_ids", action="store_true",
                    help="write train ids (0..C-1) instead of raw dataset "
                         "ids via the inverse learning map")
+    p.add_argument("--submission", action="store_true",
+                   help="write the benchmark submission tree under --out "
+                        "(sequences/NN/predictions/FFFFFF.label for "
+                        "KITTI/POSS — NN taken from the scan's "
+                        "sequences/NN/velodyne/ path; "
+                        "lidarseg/<split>/<token>_lidarseg.bin for nuScenes "
+                        "— token = scan file stem) instead of flat files")
+    p.add_argument("--split", default="val",
+                   help="nuScenes submission split name (with --submission)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE")
     args = p.parse_args(argv)
@@ -102,15 +111,41 @@ def main(argv=None):
     def stem(path):
         return os.path.splitext(os.path.basename(path))[0]
 
-    names = [stem(p) for p in paths]
-    if len(set(names)) < len(names):
-        names = [f"{os.path.basename(os.path.dirname(os.path.abspath(p)))}"
-                 f"_{stem(p)}" for p in paths]
-        if len(set(names)) < len(names):
+    writer = None
+    if args.submission:
+        from coarse3d_tpu.eval.submission import SubmissionWriter
+
+        if args.train_ids and cfg.data.dataset in ("semantic_kitti",
+                                                   "semantic_poss"):
+            raise SystemExit("--submission writes raw ids; drop --train_ids")
+
+        def seq_of(path):
+            # .../sequences/NN/velodyne/FFFFFF.bin -> NN; nuScenes tokens
+            # are the file stem (path_info convention: ("nusc", token))
+            if cfg.data.dataset == "nuscenes":
+                return "nusc"
+            parts = os.path.abspath(path).split(os.sep)
+            if len(parts) >= 3 and parts[-2] == "velodyne":
+                return parts[-3]
             raise SystemExit(
-                "output filenames collide even with parent-directory "
-                "prefixes; pass scans from distinct directories or rename")
-    out_names = {p: n + ".label" for p, n in zip(paths, names)}
+                f"--submission needs scans under sequences/NN/velodyne/, "
+                f"got {path}")
+
+        writer = SubmissionWriter(args.out, cfg.data.dataset,
+                                  label_spec=spec, split=args.split)
+        out_names = {p: (seq_of(p), stem(p)) for p in paths}
+    else:
+        names = [stem(p) for p in paths]
+        if len(set(names)) < len(names):
+            names = [
+                f"{os.path.basename(os.path.dirname(os.path.abspath(p)))}"
+                f"_{stem(p)}" for p in paths]
+            if len(set(names)) < len(names):
+                raise SystemExit(
+                    "output filenames collide even with parent-directory "
+                    "prefixes; pass scans from distinct directories or "
+                    "rename")
+        out_names = {p: n + ".label" for p, n in zip(paths, names)}
 
     os.makedirs(args.out, exist_ok=True)
     bs = args.batch_size
@@ -132,11 +167,17 @@ def main(argv=None):
                                   jnp.asarray(np.stack(msk))))
         for j, path in enumerate(chunk):
             pred = labels[j, :counts[j]].astype(np.int32)
-            if spec is not None:
-                pred = spec.unmap_labels(pred).astype(np.int32)
-            pred.tofile(os.path.join(args.out, out_names[path]))
+            if writer is not None:
+                seq_id, frame_id = out_names[path]
+                writer.write(seq_id, frame_id, pred)  # unmaps internally
+            else:
+                if spec is not None:
+                    pred = spec.unmap_labels(pred).astype(np.int32)
+                pred.tofile(os.path.join(args.out, out_names[path]))
         print(f"{min(start + bs, len(paths))}/{len(paths)} scans")
-    print(f"wrote {len(paths)} .label files -> {args.out}")
+    if writer is not None:
+        writer.finalize()
+    print(f"wrote {len(paths)} prediction files -> {args.out}")
 
 
 if __name__ == "__main__":

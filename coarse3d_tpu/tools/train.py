@@ -34,6 +34,15 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=0, metavar="N_SCANS",
                    help="train on N synthetic scans (tiny smoke run)")
     p.add_argument("--synthetic_points", type=int, default=20000)
+    p.add_argument("--synthetic_task", choices=("bands", "hard"),
+                   default="bands",
+                   help="synthetic label structure: 'bands' (elevation bands"
+                        ", geometrically separable smoke task) or 'hard' "
+                        "(texture-frequency classes — the contrast-ablation "
+                        "benchmark, see data/synthetic.py)")
+    p.add_argument("--synthetic_weak_ratio", type=float, default=None,
+                   help="weak-annotation fraction for synthetic scans "
+                        "(default: 0.002 bands / 0.0001 hard)")
     p.add_argument("--pretrained", help="converted .msgpack weights to warm-"
                    "start from (reference pretrained_model)")
     p.add_argument("--only_encoder", action="store_true",
@@ -96,14 +105,19 @@ def main(argv=None):
     )
 
     if args.synthetic:
-        from coarse3d_tpu.data.synthetic import SyntheticDataset
+        from coarse3d_tpu.data.synthetic import (SyntheticDataset,
+                                                 SyntheticHardDataset)
 
-        train_ds = SyntheticDataset(
+        ds_cls = (SyntheticHardDataset if args.synthetic_task == "hard"
+                  else SyntheticDataset)
+        ds_kw = ({"weak_ratio": args.synthetic_weak_ratio}
+                 if args.synthetic_weak_ratio is not None else {})
+        train_ds = ds_cls(
             args.synthetic, args.synthetic_points, cfg.data.n_classes,
-            cfg.sensor, seed=cfg.train.seed)
-        val_ds = SyntheticDataset(
+            cfg.sensor, seed=cfg.train.seed, **ds_kw)
+        val_ds = ds_cls(
             max(args.synthetic // 4, 1), args.synthetic_points,
-            cfg.data.n_classes, cfg.sensor, seed=cfg.train.seed + 1)
+            cfg.data.n_classes, cfg.sensor, seed=cfg.train.seed + 1, **ds_kw)
     else:
         from coarse3d_tpu.data.datasets import build_dataset
 

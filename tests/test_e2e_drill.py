@@ -180,9 +180,12 @@ def test_converter_evaluate_knn_confusion_seam(torch_ref, tmp_path, rng):
     # per-point prediction agreement (modulo ~1-ulp pixel-assignment ties)
     agree, total = 0, 0
     for i, scan in enumerate(scans):
-        pred = np.fromfile(
-            str(tmp_path / "preds" / f"08_{i:06d}.label"), np.int32)
-        pred = spec.map_labels(pred)  # back to train ids
+        from coarse3d_tpu.eval.submission import read_submission
+
+        # submission tree (sequences/08/predictions/FFFFFF.label, uint32
+        # raw ids), read back as train ids
+        pred = read_submission(str(tmp_path / "preds"), "semantic_kitti",
+                               "08", f"{i:06d}", label_spec=spec)
         assert pred.shape == ref_preds[i].shape
         agree += (pred == ref_preds[i]).sum()
         total += pred.size
