@@ -264,3 +264,69 @@ def test_export_into_reference_forward(torch_ref, rng):
 
     np.testing.assert_allclose(np.asarray(ours["probs"]), want,
                                atol=2e-4, rtol=1e-3)
+
+
+def test_pretrain_checkpoint_conversion(torch_ref, tmp_path):
+    """The published recipe warm-starts from an ImageNet-style pretrain
+    checkpoint: encoder weights + classifier fc head, NO cls_head/projector
+    (reference trainer.py:74-106 filters by name/shape against
+    encoder_module.yaml; option.py:93-95). Synthesize that format, convert
+    with the real CLI, load via --pretrained --only_encoder, and assert
+    exactly the encoder tensors copied and a training step runs."""
+    torch = torch_ref
+    import flax.serialization
+    import flax.traverse_util as tu
+    import yaml
+
+    from pc_processor.models.salsanext_proto import SalsaNextProto
+    from coarse3d_tpu.tools.convert_torch_ckpt import main as convert_main
+
+    ref = SalsaNextProto(nclasses=C)
+    _randomize_bn_stats(torch, ref)
+    full_sd = ref.state_dict()
+
+    # the encoder key list the reference filters against
+    with open("/root/reference/pc_processor/models/encoder_module.yaml") as f:
+        encoder_keys = set(yaml.safe_load(f).values())
+    pretrain_sd = {k: v for k, v in full_sd.items()
+                   if k in encoder_keys and "num_batches" not in k}
+    assert pretrain_sd, "encoder key list did not match any model keys"
+    # classification pretrain checkpoints carry an fc head instead of the
+    # segmentation cls_head; it must be ignored by the converter
+    pretrain_sd["fc.weight"] = torch.zeros(1000, 256)
+    pretrain_sd["fc.bias"] = torch.zeros(1000)
+    pth = tmp_path / "pretrain.pth"
+    torch.save({"model_state": pretrain_sd}, pth)
+
+    out = tmp_path / "pretrain.msgpack"
+    convert_main(["--pth", str(pth), "--net", "salsanext",
+                  "--out", str(out)])
+    conv = flax.serialization.msgpack_restore(out.read_bytes())
+
+    # converted tree holds exactly the encoder scopes
+    flat = tu.flatten_dict(conv["params"], sep="/")
+    from coarse3d_tpu.models.salsanext import ENCODER_PREFIXES
+    assert flat and all(k.startswith(ENCODER_PREFIXES) for k in flat), (
+        sorted(flat)[:5])
+
+    # drive the real warm-start seam: tiny synthetic run, encoder-only load
+    from coarse3d_tpu.tools.train import main as train_main
+
+    save = tmp_path / "run"
+    train_main(["--preset", "tiny", "--synthetic", "4",
+                "--synthetic_points", "1500", "--epochs", "1",
+                "--batch_size", "2", "--num_workers", "1",
+                "--save_path", str(save),
+                "--pretrained", str(out), "--only_encoder"])
+    log = (save / "log" / "console.log").read_text()
+    assert f"loaded {len(flat)} pretrained tensors" in log, (
+        [ln for ln in log.splitlines() if "pretrained" in ln])
+    assert "(encoder only)" in log
+    assert "Validation done" in log and "nan" not in log.lower()
+
+    # the loaded encoder kernel matches torch's layout-converted weights
+    import orbax.checkpoint  # noqa: F401  (ensure checkpoint deps present)
+    want = (full_sd["downCntx.conv1.weight"].numpy()
+            .transpose(2, 3, 1, 0))
+    got = flat["ResContextBlock_0/Conv_0/kernel"]
+    np.testing.assert_allclose(got, want, atol=0)
