@@ -98,6 +98,13 @@ class ContrastConfig:
     # the EMA update ON (the paper's mechanism); set False for shipped-code
     # parity.
     use_prototype: bool = True
+    # Bitwise-parity replication of the reference's DDP prototype sync
+    # (salsanext_proto.py:397-400): each replica EMA-updates from its LOCAL
+    # batch shard, then the memories are mean-all-reduced WITHOUT a final
+    # re-normalization. Default False uses the global contraction (one
+    # Sinkhorn over the global batch under pjit — sharper; see
+    # models/prototypes.py).
+    ddp_parity_protos: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

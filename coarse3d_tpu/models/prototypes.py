@@ -16,8 +16,10 @@ becomes one stable-sort class gather (fixed budget per class) + a vmapped
 masked Sinkhorn — a single fused XLA program. Under pjit the embedding batch
 is sharded on `data`, so the one-hot^T @ feats contraction and the EMA update
 reduce globally — a *sharper* equivalent of the reference's per-rank-update +
-all_reduce-mean (salsanext_proto.py:397-400); set parity mode via
-per-replica shard_map if bitwise replication is ever needed.
+all_reduce-mean (salsanext_proto.py:397-400). For bitwise replication of the
+reference's DDP semantics, `update_prototypes_ddp_parity` runs the same
+update per replica over its local batch shard under shard_map and
+mean-reduces the memories (ContrastConfig.ddp_parity_protos).
 """
 
 from __future__ import annotations
@@ -120,3 +122,43 @@ def update_prototypes(
         protos,
     )
     return l2_normalize(new)
+
+
+def update_prototypes_ddp_parity(
+    prototypes: jnp.ndarray,
+    embedding: jnp.ndarray,
+    label: jnp.ndarray,
+    label_mask: jnp.ndarray,
+    rng: jax.Array,
+    cfg: ContrastConfig,
+    mesh,
+    ignore_cls: int = 0,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Reference-DDP-parity prototype step (salsanext_proto.py:338-400).
+
+    Each data-parallel replica runs the full Sinkhorn/EMA update on its OWN
+    batch shard (its "GPU"), each with an independently folded RNG (each
+    rank draws its own Gumbel sample), and the resulting memories are
+    mean-all-reduced — deliberately WITHOUT a final re-normalization, matching
+    the reference's `dist.all_reduce(protos.div_(world_size))` applied after
+    its l2_normalize. The default global-contraction `update_prototypes` is
+    sharper (one clustering over the global batch); this mode exists so the
+    DDP-equivalence claim is testable (tests/test_multichip.py).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_update(protos, emb, lbl, msk, key_data):
+        key = jax.random.wrap_key_data(key_data)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        local = update_prototypes(
+            protos, emb, lbl, msk, key, cfg, ignore_cls=ignore_cls)
+        return jax.lax.pmean(local, axis)
+
+    shmapped = shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=P(), check_vma=False)
+    return shmapped(prototypes, embedding, label, label_mask,
+                    jax.random.key_data(rng))

@@ -54,10 +54,17 @@ def _metrics_3d(probs, batch, cfg: ExperimentConfig):
         valid=batch["point_valid"])
 
 
-def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool):
+def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool,
+                    mesh=None):
     """Build the jittable train step. `with_contrast` is the static analog of
-    the reference's `epoch >= contrast_warmup` gate (trainer.py:532-541)."""
+    the reference's `epoch >= contrast_warmup` gate (trainer.py:532-541).
+    `mesh` is only needed for ContrastConfig.ddp_parity_protos (the
+    per-replica shard_map prototype update)."""
     alpha = jnp.asarray(alpha, jnp.float32)
+    if cfg.contrast.ddp_parity_protos and mesh is None:
+        raise ValueError(
+            "contrast.ddp_parity_protos needs the data mesh: pass "
+            "make_train_step(..., mesh=...)")
 
     def train_step(state: TrainState, batch: dict[str, Any],
                    select_ratio: jnp.ndarray | float = 0.0):
@@ -112,11 +119,21 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool):
         new_state = state.apply_gradients(grads, batch_stats).replace(rng=rng)
 
         if with_contrast and cfg.contrast.use_prototype:
-            new_protos = update_prototypes(
-                state.prototypes,
-                jax.lax.stop_gradient(out["embedding"]),
-                proto_label, proto_mask, proto_rng, cfg.contrast,
-                ignore_cls=cfg.train.ignore_cls)
+            if cfg.contrast.ddp_parity_protos:
+                from coarse3d_tpu.models.prototypes import (
+                    update_prototypes_ddp_parity)
+
+                new_protos = update_prototypes_ddp_parity(
+                    state.prototypes,
+                    jax.lax.stop_gradient(out["embedding"]),
+                    proto_label, proto_mask, proto_rng, cfg.contrast,
+                    mesh=mesh, ignore_cls=cfg.train.ignore_cls)
+            else:
+                new_protos = update_prototypes(
+                    state.prototypes,
+                    jax.lax.stop_gradient(out["embedding"]),
+                    proto_label, proto_mask, proto_rng, cfg.contrast,
+                    ignore_cls=cfg.train.ignore_cls)
             new_state = new_state.replace(prototypes=new_protos)
 
         conf = _metrics_3d(jax.lax.stop_gradient(out["probs"]), batch, cfg)

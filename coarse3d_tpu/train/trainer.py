@@ -61,7 +61,7 @@ class Trainer:
             make_train_step(cfg, alpha, with_contrast=False),
             donate_argnums=(0,))
         self._step_contrast = jax.jit(
-            make_train_step(cfg, alpha, with_contrast=True),
+            make_train_step(cfg, alpha, with_contrast=True, mesh=self.mesh),
             donate_argnums=(0,))
         self._eval_step = jax.jit(
             make_eval_step(cfg, use_knn=cfg.train.val_use_knn))

@@ -108,3 +108,72 @@ def test_graft_entry_dryrun_from_foreign_backend():
                           capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
+
+
+def test_prototype_ddp_parity_mode(mesh_setup):
+    """ContrastConfig.ddp_parity_protos replicates the reference's DDP sync
+    (salsanext_proto.py:397-400): per-replica Sinkhorn/EMA on the local
+    batch shard with a per-rank RNG, then a mean all-reduce with NO final
+    re-normalization. The shard_map path must equal a hand-rolled loop over
+    the 8 shards."""
+    import dataclasses
+
+    from coarse3d_tpu.models.prototypes import (update_prototypes,
+                                                update_prototypes_ddp_parity)
+
+    import dataclasses as _dc
+
+    cfg, mesh, batch, state = mesh_setup
+    # low momentum so per-rank updates visibly diverge (at the recipe's
+    # 0.999 the no-renorm quirk is real but ~1e-6 in magnitude)
+    ccfg = _dc.replace(cfg.contrast, proto_momentum=0.5)
+    c = cfg.data.n_classes
+    emb_dim = ccfg.proj_dim
+    rng = np.random.default_rng(3)
+    b, h, w = batch["train_label"].shape
+    embedding = jnp.asarray(rng.normal(size=(b, h, w, emb_dim)),
+                            jnp.float32)
+    # dense labels so every rank's update touches most classes (the weak
+    # labels would leave most prototype rows untouched on every rank)
+    label = jnp.asarray(batch["eval_label"], jnp.int32)
+    mask = label > 0
+    protos = jnp.asarray(rng.normal(size=(c, ccfg.sub_proto_size, emb_dim)),
+                         jnp.float32)
+    key = jax.random.key(7)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda *a: update_prototypes_ddp_parity(
+        a[0], a[1], a[2], a[3], a[4], ccfg, mesh=mesh))(
+            jax.device_put(protos, NamedSharding(mesh, P())),
+            shard(embedding), shard(label), shard(mask), key)
+
+    # hand-rolled reference semantics: one update per shard, then the mean
+    per_rank = []
+    for r in range(8):
+        sl = slice(r * b // 8, (r + 1) * b // 8)
+        per_rank.append(update_prototypes(
+            protos, embedding[sl], label[sl], mask[sl],
+            jax.random.fold_in(key, r), ccfg))
+    want = jnp.stack(per_rank).mean(axis=0)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+    # the mean of per-rank l2-normalized memories is NOT unit-norm (the
+    # reference quirk preserved: no renorm after all_reduce)
+    norms = np.linalg.norm(np.asarray(got), axis=-1)
+    assert not np.allclose(norms, 1.0, atol=1e-3)
+
+    # and the flag drives the full jitted train step
+    pcfg = dataclasses.replace(
+        cfg, contrast=dataclasses.replace(ccfg, ddp_parity_protos=True))
+    step = jax.jit(make_train_step(pcfg, build_alpha(pcfg),
+                                   with_contrast=True, mesh=mesh))
+    rstate = replicate_to_mesh(state, mesh)
+    new_state, metrics = step(rstate, shard_batch(batch, mesh), 0.25)
+    assert np.isfinite(float(metrics["losses"]["total"]))
+    assert not bool(jnp.allclose(new_state.prototypes, rstate.prototypes))
+
+    with pytest.raises(ValueError, match="mesh"):
+        make_train_step(pcfg, build_alpha(pcfg), with_contrast=True)
