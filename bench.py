@@ -9,6 +9,16 @@ vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 the documented stand-in is 24 scans/sec — SalsaNext's reported real-time
 rate on its evaluation GPU, which the COARSE3D pipeline (same backbone +
 the same KNN) cannot exceed per GPU. vs_baseline = scans_per_sec / 24.
+
+`--train` benchmarks the TRAINING step instead (full contrast recipe at the
+reference's B=4/chip): the stand-in there is 8 scans/sec/GPU, from the same
+24 Hz argument — fwd+bwd+update costs ~= 3x the forward FLOPs (activations
+re-read + two matmul-sized passes per conv), so the reference's per-GPU
+training rate cannot exceed ~24/3 (its own DT/PT logs are the only
+training-speed artifact it ships and it publishes none —
+trainer.py:779-788). vs_baseline = train_scans_per_sec / 8. PERF.md
+"Training step" has the measured table; --stem s2d / --batch change the
+config (non-parity throughput options).
 """
 
 from __future__ import annotations
@@ -19,10 +29,58 @@ import time
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 24.0
+BASELINE_TRAIN_SCANS_PER_SEC = 8.0
 BATCH = 16
 N_POINTS = 120000
 WARMUP = 3
 ITERS = 20
+
+
+def main_train(stem: str = "parity", batch: int = 4) -> None:
+    """Training-step throughput: one jitted full-contrast step, donated
+    state, B=`batch`/chip (reference recipe: 4/GPU, run.sh)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.data.synthetic import synthetic_batch
+    from coarse3d_tpu.train.setup import build_alpha, build_state
+    from coarse3d_tpu.train.step import make_train_step
+
+    cfg = preset("kitti")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem=stem))
+    rng = np.random.default_rng(0)
+    host = synthetic_batch(rng, cfg, batch, n_points=N_POINTS,
+                           weak_ratio=0.001)
+    batch_dev = {k: jnp.asarray(v) for k, v in host.items()}
+    state = build_state(cfg, jax.random.key(0), steps_per_epoch=100,
+                        batch_size=batch)
+    step = jax.jit(make_train_step(cfg, build_alpha(cfg),
+                                   with_contrast=True),
+                   donate_argnums=(0,))
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch_dev, 0.3)
+        float(metrics["losses"]["total"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch_dev, 0.3)
+    float(metrics["losses"]["total"])  # scalar sync (tunnel-safe timing)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = batch * ITERS / dt
+    suffix = "" if stem == "parity" and batch == 4 else f" ({stem}, B={batch})"
+    print(json.dumps({
+        "metric": "SemanticKITTI TRAIN scans/sec/chip "
+                  f"(full contrast step){suffix}",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/sec",
+        "vs_baseline": round(
+            scans_per_sec / BASELINE_TRAIN_SCANS_PER_SEC, 3),
+    }))
 
 
 def main() -> None:
@@ -73,4 +131,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the training step instead of inference")
+    p.add_argument("--stem", default="parity", choices=("parity", "s2d"))
+    p.add_argument("--batch", type=int, default=4,
+                   help="per-chip train batch (reference recipe: 4)")
+    args = p.parse_args()
+    if args.train:
+        main_train(stem=args.stem, batch=args.batch)
+    else:
+        main()

@@ -17,3 +17,16 @@ prototype updates are pure fixed-shape masked functions inside one
 """
 
 __version__ = "0.1.0"
+
+# Platform pin for CHILD processes (tools/baseline_matrix.py subprocess
+# stages, tests): some site configurations register accelerator platforms in
+# every python process and ignore the JAX_PLATFORMS env var, so an env-only
+# CPU pin is silently lost. Setting COARSE3D_JAX_PLATFORMS=cpu forces the
+# platform at package import, which every CLI does before first device use.
+import os as _os
+
+_plat = _os.environ.get("COARSE3D_JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)

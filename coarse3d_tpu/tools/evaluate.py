@@ -28,12 +28,25 @@ def main(argv=None):
     p.add_argument("--knn", action="store_true",
                    help="apply KNN range post-processing")
     p.add_argument("--crf", action="store_true",
-                   help="refine the 2D softmax with the locally-connected "
-                        "xyz CRF before argmax (the reference ships but "
-                        "never wires this module; default compat init)")
+                   help="EXPERIMENTAL: refine the 2D softmax with the "
+                        "locally-connected xyz CRF before argmax. The "
+                        "reference ships but never wires or trains this "
+                        "module; the default compatibility kernel is "
+                        "untrained — measured mIoU effect is recorded in "
+                        "PARITY.md (CRF entry) before relying on it")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic_task", choices=("bands", "hard"),
+                   default="bands",
+                   help="synthetic label structure (match the training "
+                        "task; see data/synthetic.py)")
+    p.add_argument("--synthetic_points", type=int, default=0,
+                   help="points per synthetic scan (default: half of "
+                        "data.max_points, capped at 20000)")
+    p.add_argument("--synthetic_seed", type=int, default=0,
+                   help="synthetic catalog seed (train.py uses seed+1 for "
+                        "its val split)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
                    help="config override, e.g. --set knn.search=7 "
@@ -70,11 +83,14 @@ def main(argv=None):
             cfg, data=dataclasses.replace(cfg.data, **over))
 
     if args.synthetic:
-        from coarse3d_tpu.data.synthetic import SyntheticDataset
+        from coarse3d_tpu.data.synthetic import (SyntheticDataset,
+                                                 SyntheticHardDataset)
 
-        ds = SyntheticDataset(args.synthetic,
-                              min(20000, cfg.data.max_points // 2),
-                              cfg.data.n_classes, cfg.sensor)
+        ds_cls = (SyntheticHardDataset if args.synthetic_task == "hard"
+                  else SyntheticDataset)
+        n_pts = args.synthetic_points or min(20000, cfg.data.max_points // 2)
+        ds = ds_cls(args.synthetic, n_pts, cfg.data.n_classes, cfg.sensor,
+                    seed=args.synthetic_seed)
     else:
         from coarse3d_tpu.data.datasets import build_dataset
 

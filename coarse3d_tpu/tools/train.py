@@ -43,6 +43,15 @@ def main(argv=None):
     p.add_argument("--synthetic_weak_ratio", type=float, default=None,
                    help="weak-annotation fraction for synthetic scans "
                         "(default: 0.002 bands / 0.0001 hard)")
+    p.add_argument("--synthetic_segments", type=int, default=None,
+                   help="hard task: yaw sectors per scan (default 6)")
+    p.add_argument("--synthetic_modes", type=int, default=None,
+                   help="hard task: texture modes per class (default 2)")
+    p.add_argument("--synthetic_noise", type=float, default=None,
+                   help="hard task: per-point intensity noise sigma "
+                        "(default 0.15)")
+    p.add_argument("--synthetic_label_noise", type=float, default=None,
+                   help="hard task: weak-label flip fraction (default 0)")
     p.add_argument("--pretrained", help="converted .msgpack weights to warm-"
                    "start from (reference pretrained_model)")
     p.add_argument("--only_encoder", action="store_true",
@@ -112,6 +121,14 @@ def main(argv=None):
                   else SyntheticDataset)
         ds_kw = ({"weak_ratio": args.synthetic_weak_ratio}
                  if args.synthetic_weak_ratio is not None else {})
+        if args.synthetic_task == "hard":
+            for flag, key in ((args.synthetic_segments, "n_segments"),
+                              (args.synthetic_modes, "modes_per_class"),
+                              (args.synthetic_noise, "noise"),
+                              (args.synthetic_label_noise,
+                               "weak_label_noise")):
+                if flag is not None:
+                    ds_kw[key] = flag
         train_ds = ds_cls(
             args.synthetic, args.synthetic_points, cfg.data.n_classes,
             cfg.sensor, seed=cfg.train.seed, **ds_kw)

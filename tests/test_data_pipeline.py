@@ -319,3 +319,58 @@ def test_sample_weak_labels_min_one(rng):
     labels = np.ones(50, np.int32)
     weak = sample_weak_labels(xyz, labels, 1e-9, 0.06, np.random.default_rng(0))
     assert (weak > 0).sum() >= 1
+
+
+def test_synthetic_hard_task(rng):
+    """The contrast-ablation benchmark task (data/synthetic.py): classes are
+    geometrically interchangeable — only the intensity stripe frequency
+    carries the label — and the catalog caches deterministic scans."""
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.data.synthetic import (SyntheticHardDataset,
+                                             synthetic_hard_scan,
+                                             texture_periods)
+
+    sensor = preset("kitti").sensor
+    table = texture_periods(8, sensor.proj_w / 6, modes_per_class=2)
+    assert table.shape == (8, 2)
+    assert (table[0] == 0).all()  # ignore class has no texture
+    real = table[1:]
+    assert (real > 0).all()
+    # each class's two modes are far apart; all 14 slots distinct
+    assert (real[:, 1] / real[:, 0] > 2).all()
+    assert len(np.unique(real)) == 14
+    # several periods fit inside a sector
+    assert real.max() <= sensor.proj_w / 6 / 2.9
+
+    scan = synthetic_hard_scan(rng, 30000, 8, sensor, weak_ratio=0.001)
+    lab, pts = scan["labels"], scan["points"]
+    present = [c for c in range(1, 8) if (lab == c).sum() > 500]
+    assert len(present) >= 3
+    # per-class geometry marginals overlap: z-means within one std of the
+    # global z distribution for every present class
+    z = pts[:, 2]
+    for c in present:
+        assert abs(z[lab == c].mean() - z.mean()) < z.std()
+    # intensity marginal is the same two-level mixture for every class
+    for c in present:
+        assert abs(pts[lab == c, 3].mean() - pts[:, 3].mean()) < 0.08
+    w = scan["weak_labels"]
+    assert (w > 0).sum() == 30
+    np.testing.assert_array_equal(lab[w > 0], w[w > 0])
+
+    # catalog determinism + cache isolation
+    ds = SyntheticHardDataset(4, 5000, 8, sensor, seed=3)
+    a, b = ds.load(1), ds.load(1)
+    np.testing.assert_array_equal(a["points"], b["points"])
+    assert a["points"] is not b["points"]  # callers may mutate (augmentor)
+    b["points"][:] = 0
+    np.testing.assert_array_equal(ds.load(1)["points"], a["points"])
+
+    # weak label noise flips only annotated points
+    noisy = synthetic_hard_scan(rng, 20000, 8, sensor, weak_ratio=0.01,
+                                weak_label_noise=0.5)
+    wn = noisy["weak_labels"]
+    annotated = wn > 0
+    assert annotated.sum() == 200
+    mismatch = (noisy["labels"][annotated] != wn[annotated]).mean()
+    assert 0.2 < mismatch < 0.6  # ~0.5 * 6/7

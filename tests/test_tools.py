@@ -4,20 +4,22 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from coarse3d_tpu.data.label_maps import KITTI_LEARNING_MAP, get_label_spec
 
 
-def _write_mini_kitti(root, rng, n_scans=2, n_pts=2000):
+def _write_mini_kitti(root, rng, n_scans=2, n_pts=2000, *, seqs=(0,)):
     raw_ids = np.asarray([k for k, v in KITTI_LEARNING_MAP.items() if v > 0])
-    seq = os.path.join(root, "00")
-    os.makedirs(os.path.join(seq, "velodyne"))
-    os.makedirs(os.path.join(seq, "labels"))
-    for i in range(n_scans):
-        pts = rng.uniform(-30, 30, (n_pts, 4)).astype(np.float32)
-        pts.tofile(os.path.join(seq, "velodyne", f"{i:06d}.bin"))
-        sem = rng.choice(raw_ids, n_pts).astype(np.int32)
-        sem.tofile(os.path.join(seq, "labels", f"{i:06d}.label"))
+    for s in seqs:
+        seq = os.path.join(root, f"{s:02d}")
+        os.makedirs(os.path.join(seq, "velodyne"))
+        os.makedirs(os.path.join(seq, "labels"))
+        for i in range(n_scans):
+            pts = rng.uniform(-30, 30, (n_pts, 4)).astype(np.float32)
+            pts.tofile(os.path.join(seq, "velodyne", f"{i:06d}.bin"))
+            sem = rng.choice(raw_ids, n_pts).astype(np.int32)
+            sem.tofile(os.path.join(seq, "labels", f"{i:06d}.label"))
 
 
 def test_gen_weak_labels_cli(tmp_path, rng):
@@ -413,3 +415,75 @@ def test_evaluate_save_preds_submission_tree(tmp_path, rng):
         conf.add_batch(pred, gt)
     miou, _ = conf.iou()
     np.testing.assert_allclose(float(miou), res["mIoU_3D"], atol=1e-4)
+
+
+def test_baseline_matrix_dry_run(capsys):
+    """The BASELINE runbook prints a complete, runnable plan for all six
+    training rows and the three released-checkpoint evaluations without
+    touching anything."""
+    import importlib.util
+
+    from coarse3d_tpu.tools.baseline_matrix import main as matrix_main
+
+    res = matrix_main(["train", "--dataset", "all", "--pcd_root", "/data",
+                       "--dry_run", "--work", "/nonexistent/w"])
+    out = capsys.readouterr().out
+    assert len(res["rows"]) == 6
+    for ds in ("semantic_kitti", "semantic_poss", "nuscenes"):
+        for ratio in ("0.01", "0.1"):
+            assert f"# {ds} @ {ratio}" in out
+    # each planned stage names a real module
+    mods = {tok for line in out.splitlines() for tok in line.split()
+            if tok.startswith("coarse3d_tpu.tools.")}
+    assert mods == {"coarse3d_tpu.tools.gen_weak_labels",
+                    "coarse3d_tpu.tools.train",
+                    "coarse3d_tpu.tools.evaluate"}
+    for m in mods:
+        assert importlib.util.find_spec(m) is not None, m
+    # annotation name "0.1" -> label_ratio 0.001 (0.1% of points)
+    assert "--label_ratio 0.001" in out and "--label_ratio 0.0001" in out
+
+    res = matrix_main(["eval", "--pth", "/ckpt/best.pth",
+                       "--dataset", "semantic_kitti", "--pcd_root", "/data",
+                       "--dry_run", "--work", "/nonexistent/w"])
+    out = capsys.readouterr().out
+    assert len(res["rows"]) == 1
+    assert "convert_torch_ckpt" in out and "--knn" in out
+
+
+@pytest.mark.slow
+def test_baseline_matrix_live_mini(tmp_path, rng, monkeypatch):
+    """The runbook's train mode executes end to end on a mini KITTI tree at
+    drill scale: weak-label generation -> 1-epoch training -> KNN
+    evaluation -> BASELINE-shaped report with a published-number delta."""
+    from coarse3d_tpu.tools.baseline_matrix import main as matrix_main
+
+    # subprocess stages must run on CPU (the site registers the accelerator
+    # platform in every child; see coarse3d_tpu/__init__.py) and share the
+    # warm compile cache
+    monkeypatch.setenv("COARSE3D_JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+    monkeypatch.setenv("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+    pcd_root = tmp_path / "sequences"
+    # the weak-label generator covers the full KITTI train split by default
+    _write_mini_kitti(str(pcd_root), rng, n_scans=2, n_pts=1200,
+                      seqs=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+
+    work = tmp_path / "work"
+    res = matrix_main([
+        "train", "--dataset", "semantic_kitti", "--weak_ratio", "0.1",
+        "--pcd_root", str(pcd_root), "--work", str(work),
+        "--epochs", "1", "--num_workers", "1",
+        "--extra_set", "sensor.proj_h=16", "--extra_set", "sensor.proj_w=64",
+        "--extra_set", "data.max_points=2048",
+        "--extra_set", "model.compute_dtype=float32",
+        "--extra_set", "data.train_seq=[0]", "--extra_set",
+        "data.val_seq=[0]", "--extra_set", "train.lovasz_budget=512"])
+    row = res["rows"][0]
+    assert row["dataset"] == "semantic_kitti" and row["ratio"] == "0.1"
+    assert 0.0 <= row["mIoU"] <= 100.0
+    assert row["published"] == 57.57
+    report = (work / "baseline_report.md").read_text()
+    assert "semantic_kitti" in report and "57.57" in report
+    assert (work / "baseline_report.json").exists()
