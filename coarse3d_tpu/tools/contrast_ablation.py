@@ -1,0 +1,149 @@
+"""Multi-seed contrast-machinery ablation grid on the hard synthetic task.
+
+The accuracy-axis evidence for the weak-supervision machinery (VERDICT r2
+next #1): on a task whose classes the range convs canNOT separate from
+geometry (data/synthetic.py:synthetic_hard_scan — texture-frequency classes,
+identical depth/elevation marginals), run the REAL recipe and ablate each
+contrast component:
+
+  full        — the shipped default (contrast + entropy selection +
+                prototype EMA; reference mechanism trainer.py:654-690 +
+                contrast_pixel_loss.py:8-195)
+  nocontrast  — loss_w_contrast=0 (warmup losses only)
+  noentropy   — entropy_selection=false (anchors from weak labels only)
+  noproto     — use_prototype=false (frozen random prototypes — the
+                reference's SHIPPED default, its defect #2)
+
+All arms/seeds run in ONE process so jit programs and the tunnel are paid
+once; identical-config different-seed runs reuse the persistent compile
+cache. Emits a JSON report (per-run series, per-arm mean+-std of best and
+last-5-epoch-mean val mIoU) for the PERF.md table.
+
+  python -m coarse3d_tpu.tools.contrast_ablation --out /tmp/ablation.json \
+      --seeds 1 2 3 --epochs 24 --scans 64 --points 120000 --weak 0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+ARMS = {
+    "full": [],
+    "nocontrast": ["contrast.loss_w_contrast=0"],
+    "noentropy": ["contrast.entropy_selection=false"],
+    "noproto": ["contrast.use_prototype=false"],
+}
+
+
+def run_one(arm: str, seed: int, args) -> dict:
+    import numpy as np
+
+    from coarse3d_tpu.configs import apply_overrides, preset  # noqa: E501
+    from coarse3d_tpu.data.pipeline import DataPipeline
+    from coarse3d_tpu.data.synthetic import SyntheticHardDataset
+    from coarse3d_tpu.train.trainer import Trainer
+    from coarse3d_tpu.utils import Recorder
+
+    cfg = preset("semantic_kitti")
+    n = args.classes
+    cfg = apply_overrides(cfg, [
+        f"data.n_classes={n}",
+        "data.cls_counts=[0" + ",100" * (n - 1) + "]",
+        f"train.seed={seed}",
+        f"train.n_epochs={args.epochs}",
+    ] + ARMS[arm] + args.set)
+
+    ds_kw = dict(weak_ratio=args.weak, n_segments=args.segments,
+                 modes_per_class=args.modes, noise=args.noise,
+                 weak_label_noise=args.label_noise)
+    # the task (scene layout + weak subset) is seed-matched across arms:
+    # data seed = run seed, so arm comparisons at one seed share the data
+    train_ds = SyntheticHardDataset(args.scans, args.points, n, cfg.sensor,
+                                    seed=seed, **ds_kw)
+    val_ds = SyntheticHardDataset(max(args.scans // 4, 4), args.points, n,
+                                  cfg.sensor, seed=seed + 1000, **ds_kw)
+
+    save = os.path.join(args.work, f"{arm}_s{seed}")
+    cfg = dataclasses.replace(cfg, save_path=save)
+    recorder = Recorder(save, settings=cfg, use_tensorboard=False)
+    train_pipe = DataPipeline(train_ds, cfg, cfg.train.batch_size_train,
+                              train=True, seed=seed,
+                              num_workers=args.num_workers)
+    val_pipe = DataPipeline(val_ds, cfg, cfg.train.batch_size_val,
+                            train=False, seed=seed,
+                            num_workers=args.num_workers)
+    trainer = Trainer(cfg, train_pipe, val_pipe, recorder=recorder)
+    series = []
+    for epoch in range(cfg.train.n_epochs):
+        trainer.run_epoch(epoch, "Train")
+        res = trainer.run_epoch(epoch, "Validation")
+        series.append(round(float(res["3DIOU"]), 4))
+        print(f"[{arm} s{seed}] epoch {epoch + 1}/{cfg.train.n_epochs} "
+              f"val mIoU {series[-1]:.4f}", flush=True)
+    trainer.ckpt.close()
+    recorder.close()
+    return {"arm": arm, "seed": seed, "series": series,
+            "best": max(series), "last5": float(np.mean(series[-5:]))}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--arms", nargs="+", default=list(ARMS),
+                   choices=list(ARMS))
+    p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--epochs", type=int, default=24)
+    p.add_argument("--scans", type=int, default=64)
+    p.add_argument("--points", type=int, default=120000)
+    p.add_argument("--classes", type=int, default=8)
+    p.add_argument("--weak", type=float, default=0.001)
+    p.add_argument("--segments", type=int, default=6)
+    p.add_argument("--modes", type=int, default=2)
+    p.add_argument("--noise", type=float, default=0.15)
+    p.add_argument("--label_noise", type=float, default=0.0)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--work", default="/tmp/contrast_ablation")
+    p.add_argument("--out", default="/tmp/contrast_ablation/report.json")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="SECTION.KEY=VALUE")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    runs = []
+    for seed in args.seeds:
+        for arm in args.arms:
+            runs.append(run_one(arm, seed, args))
+            _write(args, runs)
+    report = _write(args, runs)
+    print(json.dumps(report["summary"], indent=2))
+    return report
+
+
+def _write(args, runs):
+    import numpy as np
+
+    summary = {}
+    for arm in args.arms:
+        rows = [r for r in runs if r["arm"] == arm]
+        if not rows:
+            continue
+        summary[arm] = {
+            "n": len(rows),
+            "best_mean": float(np.mean([r["best"] for r in rows])),
+            "best_std": float(np.std([r["best"] for r in rows])),
+            "last5_mean": float(np.mean([r["last5"] for r in rows])),
+            "last5_std": float(np.std([r["last5"] for r in rows])),
+        }
+    report = {"config": {k: v for k, v in vars(args).items()},
+              "runs": runs, "summary": summary}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()

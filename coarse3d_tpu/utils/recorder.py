@@ -109,3 +109,17 @@ class Recorder:
     def image(self, tag: str, image, step: int):
         if self.writer is not None:
             self.writer.image(tag, image, step)
+
+    def close(self):
+        """Flush and close the metric writer and detach log handlers (long
+        multi-run processes — e.g. tools/contrast_ablation.py — would
+        otherwise accumulate duplicate handlers and open files)."""
+        if self.writer is not None:
+            self.writer.close()
+            self.writer = None
+        for h in list(self.logger.handlers):
+            self.logger.removeHandler(h)
+            try:
+                h.close()
+            except Exception:
+                pass
