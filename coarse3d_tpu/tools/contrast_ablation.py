@@ -83,6 +83,9 @@ def run_one(arm: str, seed: int, args) -> dict:
         series.append(round(float(res["3DIOU"]), 4))
         print(f"[{arm} s{seed}] epoch {epoch + 1}/{cfg.train.n_epochs} "
               f"val mIoU {series[-1]:.4f}", flush=True)
+    # final checkpoint: lets evaluate --run_dir re-score the trained model
+    # (e.g. the CRF delta measurement, PARITY.md CRF entry)
+    trainer.ckpt.save_rolling(trainer.state, cfg.train.n_epochs - 1)
     trainer.ckpt.close()
     recorder.close()
     return {"arm": arm, "seed": seed, "series": series,
