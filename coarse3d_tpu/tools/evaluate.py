@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--synthetic_seed", type=int, default=0,
                    help="synthetic catalog seed (train.py uses seed+1 for "
                         "its val split)")
+    p.add_argument("--synthetic_segments", type=int, default=None,
+                   help="hard task: yaw sectors per scan")
+    p.add_argument("--synthetic_modes", type=int, default=None,
+                   help="hard task: texture modes per class")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
                    help="config override, e.g. --set knn.search=7 "
@@ -89,8 +93,14 @@ def main(argv=None):
         ds_cls = (SyntheticHardDataset if args.synthetic_task == "hard"
                   else SyntheticDataset)
         n_pts = args.synthetic_points or min(20000, cfg.data.max_points // 2)
+        ds_kw = {}
+        if args.synthetic_task == "hard":
+            if args.synthetic_segments is not None:
+                ds_kw["n_segments"] = args.synthetic_segments
+            if args.synthetic_modes is not None:
+                ds_kw["modes_per_class"] = args.synthetic_modes
         ds = ds_cls(args.synthetic, n_pts, cfg.data.n_classes, cfg.sensor,
-                    seed=args.synthetic_seed)
+                    seed=args.synthetic_seed, **ds_kw)
     else:
         from coarse3d_tpu.data.datasets import build_dataset
 
