@@ -126,6 +126,9 @@ def main(argv=None):
     p.add_argument("--weak_root",
                    help="existing weak-label root (skips generation)")
     p.add_argument("--pth", help="released .pth checkpoint (eval mode)")
+    p.add_argument("--pth_ratio", default="0.1", choices=("0.01", "0.1"),
+                   help="annotation ratio the --pth checkpoint was trained "
+                        "at (selects the published mIoU to compare against)")
     p.add_argument("--net", default="salsanext")
     p.add_argument("--pretrained",
                    help="converted ImageNet-pretrain .msgpack for the "
@@ -149,7 +152,7 @@ def main(argv=None):
     if args.mode == "train":
         rows = [(d, r) for d in datasets for r in ratios]
     else:
-        rows = [(d, "released") for d in datasets]
+        rows = [(d, args.pth_ratio) for d in datasets]
 
     plans = {(d, r): _plan_row(args, d, r) for d, r in rows}
     if args.dry_run:
@@ -168,7 +171,7 @@ def main(argv=None):
         # last line of evaluate's stdout is its JSON summary
         result = json.loads(
             [ln for ln in out.splitlines() if ln.startswith("{")][-1])
-        published = PUBLISHED_MIOU.get((d, "0.1" if r == "released" else r))
+        published = PUBLISHED_MIOU.get((d, r))
         report.append({
             "dataset": d, "ratio": r,
             "mIoU": result["mIoU_3D"] * 100,
