@@ -75,7 +75,20 @@ def run_one(arm: str, seed: int, args) -> dict:
     val_pipe = DataPipeline(val_ds, cfg, cfg.train.batch_size_val,
                             train=False, seed=seed,
                             num_workers=args.num_workers)
-    trainer = Trainer(cfg, train_pipe, val_pipe, recorder=recorder)
+    # mesh over the largest device count dividing the batch (a bare
+    # make_mesh() would fail when batch < n_devices, e.g. the 8-virtual-CPU
+    # test env)
+    import math
+
+    import jax
+
+    from coarse3d_tpu.parallel import make_mesh
+
+    mesh = make_mesh(
+        math.gcd(cfg.train.batch_size_train, jax.local_device_count()),
+        devices=jax.local_devices())
+    trainer = Trainer(cfg, train_pipe, val_pipe, recorder=recorder,
+                      mesh=mesh)
     series = []
     for epoch in range(cfg.train.n_epochs):
         trainer.run_epoch(epoch, "Train")

@@ -124,3 +124,36 @@ def test_load_pretrained_filtered(tmp_path):
     _, copied_enc = load_pretrained_params(
         state, donor.params, only_prefixes=("ResContextBlock",))
     assert 0 < copied_enc < copied
+
+
+@pytest.mark.slow
+def test_contrast_ablation_tool_smoke(tmp_path):
+    """tools/contrast_ablation.py: two arms, one seed, tiny shapes — report
+    carries per-run series and per-arm mean/std summaries (the PERF.md
+    ablation-grid driver)."""
+    from coarse3d_tpu.tools.contrast_ablation import main
+
+    rep = main([
+        "--arms", "full", "nocontrast", "--seeds", "7", "--epochs", "2",
+        "--scans", "8", "--points", "2000", "--classes", "5",
+        "--weak", "0.01", "--segments", "4", "--modes", "1",
+        "--work", str(tmp_path), "--out", str(tmp_path / "rep.json"),
+        "--set", "sensor.proj_h=16", "--set", "sensor.proj_w=64",
+        "--set", "data.max_points=4096",
+        "--set", "model.compute_dtype=float32",
+        "--set", "contrast.contrast_warmup=1",
+        "--set", "contrast.num_anchor=16",
+        "--set", "contrast.max_pixels_per_class=64",
+        "--set", "contrast.sub_proto_size=4",
+        "--set", "contrast.proj_dim=16",
+        "--set", "train.lovasz_budget=512"])
+    assert set(rep["summary"]) == {"full", "nocontrast"}
+    assert len(rep["runs"]) == 2
+    assert all(len(r["series"]) == 2 for r in rep["runs"])
+    assert all(0.0 <= v <= 1.0 for r in rep["runs"] for v in r["series"])
+    import json
+
+    on_disk = json.loads((tmp_path / "rep.json").read_text())
+    assert on_disk["summary"] == rep["summary"]
+    # the final checkpoint is restorable (CRF-delta measurement path)
+    assert (tmp_path / "full_s7" / "checkpoint").exists()
