@@ -101,6 +101,18 @@ def run_one(arm: str, seed: int, args) -> dict:
     trainer.ckpt.save_rolling(trainer.state, cfg.train.n_epochs - 1)
     trainer.ckpt.close()
     recorder.close()
+    # multi-run hygiene: drop this run's jit executables and host-side
+    # buffers before the next run builds its own (without this, a 12-run
+    # grid accumulates ~8 GB/run of dead executables/buffers)
+    del trainer
+    train_ds._cache.clear()
+    val_ds._cache.clear()
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
     return {"arm": arm, "seed": seed, "series": series,
             "best": max(series), "last5": float(np.mean(series[-5:]))}
 
