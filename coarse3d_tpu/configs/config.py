@@ -340,7 +340,11 @@ def apply_overrides(cfg: ExperimentConfig,
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         parsed = yaml.safe_load(value)
-        if parsed is None and value.strip() not in ("null", "~", "None"):
+        if value.strip() == "None":
+            # YAML parses "None" as the *string* 'None'; a user writing
+            # the Python spelling means null, not a string
+            parsed = None
+        elif parsed is None and value.strip() not in ("null", "~"):
             # `--set train.lr=` parses to None and would surface as a
             # confusing failure deep in training; demand an explicit null
             raise ValueError(

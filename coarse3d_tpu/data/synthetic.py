@@ -58,7 +58,8 @@ class SyntheticDataset:
     name = "synthetic"
 
     def __init__(self, n_scans: int, n_points: int, n_classes: int, sensor,
-                 weak_ratio: float = 0.002, seed: int = 0):
+                 weak_ratio: float = 0.002, seed: int = 0,
+                 cache: bool = True):
         self.n_scans = n_scans
         self.n_points = n_points
         self.n_classes = n_classes
@@ -69,8 +70,11 @@ class SyntheticDataset:
         # regenerating every epoch (a KITTI-scale 120k-point scan costs
         # ~0.3 s of the single host core per generation — the dominant DT
         # in synthetic TPU runs; 64 scans are ~200 MB). Copies are served
-        # because the pipeline's augmentor works on the arrays.
-        self._cache: dict[int, dict[str, np.ndarray]] = {}
+        # because the pipeline's augmentor works on the arrays. Pass
+        # cache=False for single-pass consumers (evaluate/infer) where
+        # every scan is read once and the cache is pure memory overhead.
+        self._cache: dict[int, dict[str, np.ndarray]] | None = (
+            {} if cache else None)
 
     def __len__(self) -> int:
         return self.n_scans
@@ -84,6 +88,8 @@ class SyntheticDataset:
             rng, self.n_points, self.n_classes, self.sensor, self.weak_ratio)
 
     def load(self, index: int) -> dict[str, np.ndarray]:
+        if self._cache is None:
+            return self._generate(index)
         scan = self._cache.get(index)
         if scan is None:
             self._cache[index] = scan = self._generate(index)
@@ -195,9 +201,10 @@ class SyntheticHardDataset(SyntheticDataset):
     def __init__(self, n_scans, n_points, n_classes, sensor,
                  weak_ratio: float = 0.0001, seed: int = 0,
                  n_segments: int = 6, modes_per_class: int = 2,
-                 noise: float = 0.15, weak_label_noise: float = 0.0):
+                 noise: float = 0.15, weak_label_noise: float = 0.0,
+                 cache: bool = True):
         super().__init__(n_scans, n_points, n_classes, sensor,
-                         weak_ratio=weak_ratio, seed=seed)
+                         weak_ratio=weak_ratio, seed=seed, cache=cache)
         self.n_segments = n_segments
         self.modes_per_class = modes_per_class
         self.noise = noise

@@ -55,8 +55,11 @@ class SubmissionWriter:
                 self.root, "sequences", seq_id, "predictions")
             os.makedirs(out_dir, exist_ok=True)
             path = os.path.join(out_dir, f"{frame_id}.label")
-            raw = self.spec.unmap_labels(pred).astype(np.uint32)
-            raw.tofile(path)
+            # train id 0 (ignore) can reach here when KNN is off (argmax
+            # over all classes); raw id 0 = "unlabeled" is rejected by the
+            # benchmark validator, so clip to 1 like the nuScenes branch.
+            raw = self.spec.unmap_labels(np.maximum(pred, 1))
+            raw.astype(np.uint32).tofile(path)
         elif self.dataset == "nuscenes":
             out_dir = os.path.join(self.root, "lidarseg", self.split)
             os.makedirs(out_dir, exist_ok=True)

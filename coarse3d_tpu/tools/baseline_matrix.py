@@ -93,7 +93,7 @@ def _plan_row(args, dataset: str, ratio: str) -> list[list[str]]:
     eval_cmd = py + ["coarse3d_tpu.tools.evaluate",
                      "--preset", dataset,
                      "--pcd_root", args.pcd_root,
-                     "--run_dir", work, "--knn",
+                     "--run_dir", work, "--ckpt", "best_3DIOU", "--knn",
                      "--num_workers", str(args.num_workers)]
     for ov in args.extra_set:
         eval_cmd += ["--set", ov]
@@ -102,13 +102,24 @@ def _plan_row(args, dataset: str, ratio: str) -> list[list[str]]:
 
 
 def _run(cmd: list[str]) -> str:
+    """Run one stage, streaming its output live (a 100-epoch training row
+    runs for hours; buffered output would hide whether it is progressing)
+    while keeping a tail for the caller's JSON-summary parse."""
+    import collections
+
     print("+ " + " ".join(cmd), flush=True)
-    res = subprocess.run(cmd, capture_output=True, text=True)
-    sys.stdout.write(res.stdout[-4000:])
-    if res.returncode != 0:
-        sys.stderr.write(res.stderr[-4000:])
-        raise RuntimeError(f"command failed rc={res.returncode}: {cmd}")
-    return res.stdout
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    tail = collections.deque(maxlen=500)
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        tail.append(line)
+    rc = proc.wait()
+    if rc != 0:
+        raise RuntimeError(f"command failed rc={rc}: {cmd}")
+    return "".join(tail)
 
 
 def main(argv=None):
@@ -145,6 +156,12 @@ def main(argv=None):
 
     if args.mode == "eval" and not args.pth:
         p.error("eval mode needs --pth")
+    if args.mode == "eval" and args.dataset == "all":
+        # a .pth is trained for ONE dataset (n_classes/sensor differ);
+        # evaluating it against all three presets would crash on shape
+        # mismatch partway through the matrix
+        p.error("eval mode needs an explicit --dataset (the checkpoint "
+                "is dataset-specific)")
 
     datasets = DATASETS if args.dataset == "all" else (args.dataset,)
     ratios = ("0.01", "0.1") if args.weak_ratio == "all" else (

@@ -69,24 +69,26 @@ def run_one(arm: str, seed: int, args) -> dict:
     save = os.path.join(args.work, f"{arm}_s{seed}")
     cfg = dataclasses.replace(cfg, save_path=save)
     recorder = Recorder(save, settings=cfg, use_tensorboard=False)
-    train_pipe = DataPipeline(train_ds, cfg, cfg.train.batch_size_train,
-                              train=True, seed=seed,
-                              num_workers=args.num_workers)
-    val_pipe = DataPipeline(val_ds, cfg, cfg.train.batch_size_val,
-                            train=False, seed=seed,
-                            num_workers=args.num_workers)
-    # mesh over the largest device count dividing the batch (a bare
-    # make_mesh() would fail when batch < n_devices, e.g. the 8-virtual-CPU
-    # test env)
-    import math
-
+    # same batch semantics as tools/train.py: batch_size_train is PER
+    # CHIP, the host batch is x local devices — so the ablation runs the
+    # same effective batch (BN / contrast statistics) as the recipe it
+    # claims to ablate, on any host size
     import jax
 
     from coarse3d_tpu.parallel import make_mesh
 
-    mesh = make_mesh(
-        math.gcd(cfg.train.batch_size_train, jax.local_device_count()),
-        devices=jax.local_devices())
+    n_dev = jax.local_device_count()
+    train_pipe = DataPipeline(train_ds, cfg,
+                              cfg.train.batch_size_train * n_dev,
+                              train=True, seed=seed,
+                              num_workers=args.num_workers)
+    val_pipe = DataPipeline(val_ds, cfg, cfg.train.batch_size_val * n_dev,
+                            train=False, seed=seed,
+                            num_workers=args.num_workers)
+    print(f"[{arm} s{seed}] global batch "
+          f"{cfg.train.batch_size_train * n_dev} over {n_dev} device(s)",
+          flush=True)
+    mesh = make_mesh(n_dev, devices=jax.local_devices())
     trainer = Trainer(cfg, train_pipe, val_pipe, recorder=recorder,
                       mesh=mesh)
     series = []
@@ -105,8 +107,9 @@ def run_one(arm: str, seed: int, args) -> dict:
     # buffers before the next run builds its own (without this, a 12-run
     # grid accumulates ~8 GB/run of dead executables/buffers)
     del trainer
-    train_ds._cache.clear()
-    val_ds._cache.clear()
+    for d in (train_ds, val_ds):
+        if d._cache is not None:
+            d._cache.clear()
     import gc
 
     import jax
@@ -167,7 +170,9 @@ def _write(args, runs):
         }
     report = {"config": {k: v for k, v in vars(args).items()},
               "runs": runs, "summary": summary}
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     return report

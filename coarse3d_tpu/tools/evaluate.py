@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--pcd_root")
     p.add_argument("--weights", help="converted .msgpack checkpoint")
     p.add_argument("--run_dir", help="training run dir (Orbax checkpoint)")
+    p.add_argument("--ckpt", default="latest",
+                   help="which --run_dir checkpoint to restore: 'latest' "
+                        "(rolling) or a best-metric key like 'best_3DIOU' "
+                        "(the published BASELINE numbers are "
+                        "best-checkpoint numbers)")
     p.add_argument("--knn", action="store_true",
                    help="apply KNN range post-processing")
     p.add_argument("--crf", action="store_true",
@@ -51,6 +56,9 @@ def main(argv=None):
                    help="hard task: yaw sectors per scan")
     p.add_argument("--synthetic_modes", type=int, default=None,
                    help="hard task: texture modes per class")
+    p.add_argument("--synthetic_noise", type=float, default=None,
+                   help="hard task: per-point intensity noise sigma "
+                        "(match the training task's --synthetic_noise)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
                    help="config override, e.g. --set knn.search=7 "
@@ -99,8 +107,11 @@ def main(argv=None):
                 ds_kw["n_segments"] = args.synthetic_segments
             if args.synthetic_modes is not None:
                 ds_kw["modes_per_class"] = args.synthetic_modes
+            if args.synthetic_noise is not None:
+                ds_kw["noise"] = args.synthetic_noise
+        # cache=False: evaluate is a single pass, every scan read once
         ds = ds_cls(args.synthetic, n_pts, cfg.data.n_classes, cfg.sensor,
-                    seed=args.synthetic_seed, **ds_kw)
+                    seed=args.synthetic_seed, cache=False, **ds_kw)
     else:
         from coarse3d_tpu.data.datasets import build_dataset
 
@@ -141,7 +152,11 @@ def main(argv=None):
         from coarse3d_tpu.train.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(args.run_dir)
-        state, _ = ckpt.restore(state)
+        if args.ckpt == "latest":
+            state, _ = ckpt.restore(state)
+        else:
+            key = args.ckpt.removeprefix("best_")
+            state = ckpt.restore_best(state, key=key)
         ckpt.close()
 
     state = replicate_to_mesh(state, mesh)
@@ -153,9 +168,31 @@ def main(argv=None):
     if args.save_preds:
         from coarse3d_tpu.eval.submission import SubmissionWriter
 
+        # synthetic catalogs carry no label spec; reuse the preset's real
+        # spec when the class count matches (so the benchmark-layout seam
+        # can be drilled end to end on synthetic runs), else fall back to
+        # the writer's flat train-id layout rather than asserting deep in
+        # the eval loop
+        dataset_kind = cfg.data.dataset
+        spec = getattr(ds, "label_spec", None)
+        if spec is None:
+            from coarse3d_tpu.data.label_maps import get_label_spec
+
+            try:
+                spec = get_label_spec(cfg.data.dataset)
+            except KeyError:
+                spec = None
+            if spec is not None and spec.n_classes != cfg.data.n_classes:
+                print(f"note: {cfg.data.dataset} label spec has "
+                      f"{spec.n_classes} classes but this run has "
+                      f"{cfg.data.n_classes}; writing flat train-id files "
+                      f"instead of the benchmark tree")
+                spec = None
+            if spec is None:
+                dataset_kind = getattr(ds, "name", "synthetic")
         writer = SubmissionWriter(
-            args.save_preds, cfg.data.dataset,
-            label_spec=getattr(ds, "label_spec", None), split=args.split)
+            args.save_preds, dataset_kind, label_spec=spec,
+            split=args.split)
     for i, host_batch in enumerate(pipe.epoch(0)):
         batch = shard_batch(host_batch, mesh)
         out = eval_step(state, batch)

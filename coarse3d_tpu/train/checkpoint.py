@@ -73,6 +73,27 @@ class CheckpointManager:
     def latest_epoch(self) -> int | None:
         return self._mgr.latest_step()
 
+    def restore_best(self, state: TrainState, key: str = "3DIOU"
+                     ) -> TrainState:
+        """Restore a best_<key> snapshot (main.py:124-145's best model);
+        the published BASELINE numbers are best-checkpoint numbers."""
+        path = os.path.join(self.root, f"best_{key}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"no best_{key} snapshot under {self.root} (run had no "
+                "validation epochs?) — use the rolling checkpoint instead")
+        template = jax.tree.map(np.asarray, _to_saveable(state, 0))
+        restored = ocp.StandardCheckpointer().restore(
+            path, target=template)
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            prototypes=restored["prototypes"],
+            rng=jax.random.wrap_key_data(restored["rng"]),
+        )
+
     def restore(self, state: TrainState, epoch: int | None = None
                 ) -> tuple[TrainState, int]:
         """Restore into an abstract-compatible TrainState; returns

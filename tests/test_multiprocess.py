@@ -63,7 +63,8 @@ def _communicate_all(procs, timeout=900):
 
     try:
         with concurrent.futures.ThreadPoolExecutor(len(procs)) as pool:
-            futs = [pool.submit(p.communicate, timeout) for p in procs]
+            futs = [pool.submit(p.communicate, timeout=timeout)
+                    for p in procs]
             return [f.result(timeout=timeout + 30) for f in futs]
     finally:
         for p in procs:

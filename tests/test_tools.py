@@ -202,8 +202,10 @@ def test_apply_overrides():
         apply_overrides(cfg, ["train=0.01"])  # typo'd --set train.lr=0.01
     with pytest.raises(ValueError, match="empty value"):
         apply_overrides(cfg, ["train.lr="])  # would silently become None
-    # an explicit null is allowed through (YAML semantics preserved)
+    # an explicit null is allowed through (YAML semantics preserved), and
+    # the Python spelling coerces to null rather than the string "None"
     assert apply_overrides(cfg, ["train.lr=null"]).train.lr is None
+    assert apply_overrides(cfg, ["train.lr=None"]).train.lr is None
 
 
 def test_train_cli_set_override(tmp_path):
@@ -339,17 +341,21 @@ def test_submission_writer_roundtrip(tmp_path, rng):
     for dataset, seq, frame in (("semantic_kitti", "08", "000042"),
                                 ("semantic_poss", "02", "000007")):
         spec = get_label_spec(dataset)
-        pred = rng.integers(1, spec.n_classes, 300).astype(np.int32)
+        # include train id 0: argmax without KNN can predict it, and raw
+        # id 0 ("unlabeled") is rejected by the benchmark validator
+        pred = rng.integers(0, spec.n_classes, 300).astype(np.int32)
         root = tmp_path / dataset
         w = SubmissionWriter(str(root), dataset, label_spec=spec)
         path = w.write(seq, frame, pred)
         w.finalize()
         assert path == str(
             root / "sequences" / seq / "predictions" / f"{frame}.label")
-        assert np.fromfile(path, np.uint32).shape == (300,)
+        raw = np.fromfile(path, np.uint32)
+        assert raw.shape == (300,)
+        assert (raw != 0).all()  # no "unlabeled" predictions
         back = read_submission(str(root), dataset, seq, frame,
                                label_spec=spec)
-        np.testing.assert_array_equal(back, pred)
+        np.testing.assert_array_equal(back, np.maximum(pred, 1))
 
     # nuScenes: token-addressed uint8 bins + submission.json meta
     token = "abc123def456"
@@ -363,6 +369,31 @@ def test_submission_writer_roundtrip(tmp_path, rng):
     back = read_submission(str(root), "nuscenes", "nusc", token)
     np.testing.assert_array_equal(back, np.maximum(pred, 1))
     assert back.min() >= 1  # devkit validate_submission rejects 0s
+
+
+def test_evaluate_save_preds_synthetic_fallback(tmp_path):
+    """--save_preds on a synthetic run whose class count does not match the
+    preset's label spec falls back to flat train-id files (it used to hit
+    a bare assert deep in the eval loop); with a MATCHING class count the
+    real benchmark tree is written (drilled end to end by the drive in
+    round 3 and by test_evaluate_save_preds_submission_tree on real files)."""
+    from coarse3d_tpu.tools.evaluate import main as eval_main
+
+    out = tmp_path / "preds"
+    eval_main(
+        ["--preset", "semantic_kitti", "--synthetic", "2",
+         "--synthetic_points", "1000", "--num_workers", "1",
+         "--save_preds", str(out),
+         "--set", "sensor.proj_h=16", "--set", "sensor.proj_w=64",
+         "--set", "data.max_points=2048", "--set", "data.n_classes=5",
+         "--set", "data.cls_counts=[0,100,100,100,100]",
+         "--set", "model.compute_dtype=float32",
+         "--set", "train.batch_size_val=1"])
+    flat = sorted(p.name for p in out.iterdir())
+    assert flat == ["synth_000000.label", "synth_000001.label"]
+    for p in out.iterdir():
+        pred = np.fromfile(p, np.int32)
+        assert pred.size > 0 and pred.max() < 5
 
 
 def test_evaluate_save_preds_submission_tree(tmp_path, rng):

@@ -106,6 +106,20 @@ def test_best_checkpoint_tracking(tmp_path):
     assert improved == ["3DIOU"]
     assert trainer.ckpt.save_best(trainer.state, 1, {"3DIOU": 0.4}) == []
     assert trainer.ckpt.save_best(trainer.state, 2, {"3DIOU": 0.6}) == ["3DIOU"]
+
+    # best snapshots restore exactly (the BASELINE numbers are
+    # best-checkpoint numbers; evaluate --ckpt best_3DIOU uses this path)
+    fresh = build_state(cfg, jax.random.key(9), steps_per_epoch=2,
+                        batch_size=1)
+    restored = trainer.ckpt.restore_best(fresh, key="3DIOU")
+    want = jax.tree_util.tree_leaves(trainer.state.params)
+    got = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="best_nope"):
+        trainer.ckpt.restore_best(fresh, key="nope")
     trainer.ckpt.close()
 
 
@@ -138,6 +152,10 @@ def test_contrast_ablation_tool_smoke(tmp_path):
         "--scans", "8", "--points", "2000", "--classes", "5",
         "--weak", "0.01", "--segments", "4", "--modes", "1",
         "--work", str(tmp_path), "--out", str(tmp_path / "rep.json"),
+        # per-chip batch 1: the tool uses train.py's batch semantics
+        # (batch x local devices), and this env has 8 virtual devices
+        "--set", "train.batch_size_train=1",
+        "--set", "train.batch_size_val=1",
         "--set", "sensor.proj_h=16", "--set", "sensor.proj_w=64",
         "--set", "data.max_points=4096",
         "--set", "model.compute_dtype=float32",
