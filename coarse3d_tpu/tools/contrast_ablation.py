@@ -122,6 +122,11 @@ def run_one(arm: str, seed: int, args) -> dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--merge", nargs="+", metavar="REPORT.json",
+                   help="merge per-seed/per-arm reports (runs concatenated, "
+                        "summary recomputed) into --out instead of training; "
+                        "the per-seed-subprocess workflow that bounds the "
+                        "axon transfer leak (CLAUDE.md) produces these")
     p.add_argument("--arms", nargs="+", default=list(ARMS),
                    choices=list(ARMS))
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
@@ -141,7 +146,22 @@ def main(argv=None):
                    metavar="SECTION.KEY=VALUE")
     args = p.parse_args(argv)
 
-    import numpy as np
+    if args.merge:
+        runs, seen = [], set()
+        for path in args.merge:
+            with open(path) as f:
+                part = json.load(f)
+            for r in part["runs"]:
+                key = (r["arm"], r["seed"])
+                if key in seen:
+                    raise SystemExit(
+                        f"--merge: duplicate run {key} in {path}")
+                seen.add(key)
+                runs.append(r)
+        runs.sort(key=lambda r: (r["seed"], list(ARMS).index(r["arm"])))
+        report = _write(args, runs)
+        print(json.dumps(report["summary"], indent=2))
+        return report
 
     runs = []
     for seed in args.seeds:

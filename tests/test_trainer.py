@@ -140,6 +140,42 @@ def test_load_pretrained_filtered(tmp_path):
     assert 0 < copied_enc < copied
 
 
+def test_contrast_ablation_merge(tmp_path):
+    """--merge combines per-seed reports (the per-seed-subprocess workflow
+    that bounds the axon transfer leak) and recomputes the summary."""
+    import json
+
+    from coarse3d_tpu.tools.contrast_ablation import main
+
+    def fake(seed, best_full, best_noc):
+        return {"config": {}, "runs": [
+            {"arm": "full", "seed": seed, "series": [best_full],
+             "best": best_full, "last5": best_full},
+            {"arm": "nocontrast", "seed": seed, "series": [best_noc],
+             "best": best_noc, "last5": best_noc}],
+            "summary": {}}
+
+    p1, p2 = tmp_path / "s1.json", tmp_path / "s2.json"
+    p1.write_text(json.dumps(fake(1, 0.5, 0.3)))
+    p2.write_text(json.dumps(fake(2, 0.4, 0.2)))
+    out = tmp_path / "merged.json"
+    rep = main(["--merge", str(p1), str(p2), "--out", str(out)])
+    assert len(rep["runs"]) == 4
+    assert rep["summary"]["full"]["n"] == 2
+    np.testing.assert_allclose(rep["summary"]["full"]["best_mean"], 0.45)
+    np.testing.assert_allclose(rep["summary"]["nocontrast"]["best_mean"], 0.25)
+    # runs come back seed-major, arm order matching the grid definition
+    assert [(r["arm"], r["seed"]) for r in rep["runs"]] == [
+        ("full", 1), ("nocontrast", 1), ("full", 2), ("nocontrast", 2)]
+    assert json.loads(out.read_text())["summary"] == rep["summary"]
+
+    # duplicate (arm, seed) pairs across reports are a hard error
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="duplicate run"):
+        main(["--merge", str(p1), str(p1), "--out", str(out)])
+
+
 @pytest.mark.slow
 def test_contrast_ablation_tool_smoke(tmp_path):
     """tools/contrast_ablation.py: two arms, one seed, tiny shapes — report
