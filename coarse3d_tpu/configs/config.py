@@ -344,9 +344,10 @@ def apply_overrides(cfg: ExperimentConfig,
             # YAML parses "None" as the *string* 'None'; a user writing
             # the Python spelling means null, not a string
             parsed = None
-        elif parsed is None and value.strip() not in ("null", "~"):
+        elif parsed is None and not value.strip():
             # `--set train.lr=` parses to None and would surface as a
             # confusing failure deep in training; demand an explicit null
+            # (any YAML null spelling — null/~/Null/NULL — passes through)
             raise ValueError(
                 f"--set: empty value for {key.strip()!r} (write "
                 f"{key.strip()}=null if you really mean None)")

@@ -65,10 +65,11 @@ class SubmissionWriter:
             os.makedirs(out_dir, exist_ok=True)
             # the challenge index space IS the 16-class train-id space; 0
             # (ignore) is not a legal prediction — clip to 1 like the
-            # devkit's validate_submission demands. path_info yields
-            # ("nusc", <sample_data token>).
-            token = frame_id if seq_id == "nusc" else seq_id
-            path = os.path.join(out_dir, f"{token}_lidarseg.bin")
+            # devkit's validate_submission demands. All catalogs follow the
+            # ("<namespace>", <token-or-stem>) path_info convention, so the
+            # frame_id IS the token (a seq_id fallback here silently
+            # collapsed every synthetic scan onto one file).
+            path = os.path.join(out_dir, f"{frame_id}_lidarseg.bin")
             np.maximum(pred, 1).astype(np.uint8).tofile(path)
         else:
             path = os.path.join(self.root, f"{seq_id}_{frame_id}.label")
@@ -97,9 +98,8 @@ def read_submission(root: str, dataset: str, seq_id: str, frame_id: str,
         assert label_spec is not None
         return label_spec.map_labels(raw.astype(np.int64))
     if dataset == "nuscenes":
-        token = frame_id if seq_id == "nusc" else seq_id
         return np.fromfile(
-            os.path.join(root, "lidarseg", split, f"{token}_lidarseg.bin"),
+            os.path.join(root, "lidarseg", split, f"{frame_id}_lidarseg.bin"),
             dtype=np.uint8).astype(np.int32)
     return np.fromfile(
         os.path.join(root, f"{seq_id}_{frame_id}.label"), dtype=np.int32)

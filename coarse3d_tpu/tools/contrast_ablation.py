@@ -39,6 +39,9 @@ ARMS = {
 
 
 def run_one(arm: str, seed: int, args) -> dict:
+    import gc
+
+    import jax
     import numpy as np
 
     from coarse3d_tpu.configs import apply_overrides, preset  # noqa: E501
@@ -73,8 +76,6 @@ def run_one(arm: str, seed: int, args) -> dict:
     # CHIP, the host batch is x local devices — so the ablation runs the
     # same effective batch (BN / contrast statistics) as the recipe it
     # claims to ablate, on any host size
-    import jax
-
     from coarse3d_tpu.parallel import make_mesh
 
     n_dev = jax.local_device_count()
@@ -110,10 +111,6 @@ def run_one(arm: str, seed: int, args) -> dict:
     for d in (train_ds, val_ds):
         if d._cache is not None:
             d._cache.clear()
-    import gc
-
-    import jax
-
     gc.collect()
     jax.clear_caches()
     return {"arm": arm, "seed": seed, "series": series,

@@ -25,6 +25,7 @@ CLI:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -301,6 +302,10 @@ def main(argv=None):
     if missing:
         print(f"WARNING: {len(missing)} reference layers absent: "
               f"{missing[:5]}...")
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        # callers like baseline_matrix point --out into <work>/converted/
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(converted))
     n = len(sd)

@@ -61,7 +61,10 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool,
     `mesh` is only needed for ContrastConfig.ddp_parity_protos (the
     per-replica shard_map prototype update)."""
     alpha = jnp.asarray(alpha, jnp.float32)
-    if cfg.contrast.ddp_parity_protos and mesh is None:
+    # only the contrast specialization runs the prototype update; the
+    # warmup step is built without a mesh (Trainer.__init__) and must not
+    # trip over the ddp-parity flag
+    if with_contrast and cfg.contrast.ddp_parity_protos and mesh is None:
         raise ValueError(
             "contrast.ddp_parity_protos needs the data mesh: pass "
             "make_train_step(..., mesh=...)")

@@ -206,6 +206,9 @@ def test_apply_overrides():
     # the Python spelling coerces to null rather than the string "None"
     assert apply_overrides(cfg, ["train.lr=null"]).train.lr is None
     assert apply_overrides(cfg, ["train.lr=None"]).train.lr is None
+    # every YAML null spelling is an explicit null, not an "empty value"
+    assert apply_overrides(cfg, ["train.lr=NULL"]).train.lr is None
+    assert apply_overrides(cfg, ["train.lr=~"]).train.lr is None
 
 
 def test_train_cli_set_override(tmp_path):
@@ -369,6 +372,12 @@ def test_submission_writer_roundtrip(tmp_path, rng):
     back = read_submission(str(root), "nuscenes", "nusc", token)
     np.testing.assert_array_equal(back, np.maximum(pred, 1))
     assert back.min() >= 1  # devkit validate_submission rejects 0s
+
+    # synthetic catalogs return ("synth", stem): each scan must land in its
+    # OWN file (a seq_id fallback used to collapse them all onto one token)
+    w2 = SubmissionWriter(str(tmp_path / "nusc_synth"), "nuscenes")
+    paths = {w2.write("synth", f"{i:06d}", pred) for i in range(3)}
+    assert len(paths) == 3
 
 
 def test_evaluate_save_preds_synthetic_fallback(tmp_path):

@@ -298,7 +298,9 @@ def test_pretrain_checkpoint_conversion(torch_ref, tmp_path):
     pth = tmp_path / "pretrain.pth"
     torch.save({"model_state": pretrain_sd}, pth)
 
-    out = tmp_path / "pretrain.msgpack"
+    # nested non-existent dir: the CLI must create it (the baseline_matrix
+    # runbook points --out into <work>/converted/)
+    out = tmp_path / "converted" / "pretrain.msgpack"
     convert_main(["--pth", str(pth), "--net", "salsanext",
                   "--out", str(out)])
     conv = flax.serialization.msgpack_restore(out.read_bytes())

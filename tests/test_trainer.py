@@ -16,7 +16,7 @@ from tests.test_train_step import tiny_config
 
 
 def _mini_trainer(tmp_path, n_epochs=2, contrast_warmup=99,
-                  val_use_knn=False):
+                  val_use_knn=False, ddp_parity=False):
     cfg = tiny_config()
     cfg = dataclasses.replace(
         cfg,
@@ -24,7 +24,8 @@ def _mini_trainer(tmp_path, n_epochs=2, contrast_warmup=99,
             cfg.train, n_epochs=n_epochs, val_frequency=1,
             val_use_knn=val_use_knn),
         contrast=dataclasses.replace(
-            cfg.contrast, contrast_warmup=contrast_warmup),
+            cfg.contrast, contrast_warmup=contrast_warmup,
+            ddp_parity_protos=ddp_parity),
         save_path=str(tmp_path / "run"),
     )
     ds = SyntheticDataset(8, 2000, cfg.data.n_classes, cfg.sensor,
@@ -98,6 +99,19 @@ def test_val_use_knn_routes_into_eval_step(tmp_path, monkeypatch):
     trainer2.run_epoch(0, "Validation")
     assert not calls
     trainer2.ckpt.close()
+
+
+def test_ddp_parity_protos_through_trainer(tmp_path):
+    """contrast.ddp_parity_protos must work through the Trainer/train CLI
+    path: the warmup step is built WITHOUT a mesh, and the guard used to
+    reject it at Trainer construction before a single step ran."""
+    trainer, cfg = _mini_trainer(tmp_path, n_epochs=1, contrast_warmup=0,
+                                 ddp_parity=True)
+    protos_before = np.asarray(trainer.state.prototypes)
+    trainer.run_epoch(0, "Train")  # contrast epoch -> shard_map proto path
+    assert np.abs(
+        np.asarray(trainer.state.prototypes) - protos_before).sum() > 0
+    trainer.ckpt.close()
 
 
 def test_best_checkpoint_tracking(tmp_path):
