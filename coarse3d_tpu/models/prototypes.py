@@ -124,6 +124,57 @@ def update_prototypes(
     return l2_normalize(new)
 
 
+def prototype_diagnostics(
+    old: jnp.ndarray,
+    new: jnp.ndarray,
+    ignore_cls: int = 0,
+) -> dict[str, jnp.ndarray]:
+    """Scalar health metrics of the prototype memory (observability).
+
+    The contrast loss is only discriminative while the per-class targets stay
+    separated; with the EMA update ON the memory can collapse toward the
+    early-training feature mean (every class's pixels look alike to an
+    untrained backbone), at which point InfoNCE pulls all anchors toward the
+    same direction. These scalars make that failure mode visible in the
+    Recorder without fetching the (C, K, D) memory:
+
+      proto_inter_sim — mean cosine similarity between sub-prototypes of
+        DIFFERENT classes (ignore-class rows excluded). Random D-dim init
+        ~0; collapse drives it toward 1.
+      proto_intra_sim — mean cosine similarity within a class's own
+        sub-prototypes (self-pairs excluded).
+      proto_drift — mean L2 step distance ||new - old|| over non-ignore
+        rows (0 when use_prototype=False).
+
+    Cost: one (C*K, C*K) similarity matrix — a few hundred rows, negligible
+    next to the step.
+    """
+    c, k, d = new.shape
+    rows = l2_normalize(new.astype(jnp.float32).reshape(c * k, d))
+    cls = jnp.repeat(jnp.arange(c), k)
+    row_valid = cls != ignore_cls
+
+    sim = rows @ rows.T                                     # (CK, CK)
+    pair_valid = row_valid[:, None] & row_valid[None, :]
+    same_cls = cls[:, None] == cls[None, :]
+    self_pair = jnp.eye(c * k, dtype=bool)
+
+    inter_mask = pair_valid & ~same_cls
+    intra_mask = pair_valid & same_cls & ~self_pair
+
+    def masked_mean(values, mask):
+        m = mask.astype(jnp.float32)
+        return (values * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    drift = jnp.linalg.norm(
+        new.astype(jnp.float32) - old.astype(jnp.float32), axis=-1)
+    return {
+        "proto_inter_sim": masked_mean(sim, inter_mask),
+        "proto_intra_sim": masked_mean(sim, intra_mask),
+        "proto_drift": masked_mean(drift.reshape(c * k), row_valid),
+    }
+
+
 def update_prototypes_ddp_parity(
     prototypes: jnp.ndarray,
     embedding: jnp.ndarray,

@@ -29,7 +29,8 @@ from coarse3d_tpu.losses import focal_softmax_loss, lovasz_softmax_loss
 from coarse3d_tpu.losses.contrast import contrast_mem_loss
 from coarse3d_tpu.losses.entropy_selection import entropy_based_selection
 from coarse3d_tpu.metrics import confusion_matrix
-from coarse3d_tpu.models.prototypes import update_prototypes
+from coarse3d_tpu.models.prototypes import (
+    prototype_diagnostics, update_prototypes)
 from coarse3d_tpu.ops.projection import normalize_features
 from coarse3d_tpu.train.state import TrainState
 
@@ -121,6 +122,7 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool,
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, batch_stats).replace(rng=rng)
 
+        metrics = {"losses": losses}
         if with_contrast and cfg.contrast.use_prototype:
             if cfg.contrast.ddp_parity_protos:
                 from coarse3d_tpu.models.prototypes import (
@@ -138,9 +140,16 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool,
                     proto_label, proto_mask, proto_rng, cfg.contrast,
                     ignore_cls=cfg.train.ignore_cls)
             new_state = new_state.replace(prototypes=new_protos)
+        if with_contrast:
+            # memory-health scalars (collapse visibility); with the EMA
+            # update off this reports the frozen memory (drift == 0)
+            metrics["diag"] = prototype_diagnostics(
+                state.prototypes, new_state.prototypes,
+                ignore_cls=cfg.train.ignore_cls)
 
-        conf = _metrics_3d(jax.lax.stop_gradient(out["probs"]), batch, cfg)
-        return new_state, {"losses": losses, "confusion": conf}
+        metrics["confusion"] = _metrics_3d(
+            jax.lax.stop_gradient(out["probs"]), batch, cfg)
+        return new_state, metrics
 
     return train_step
 

@@ -123,6 +123,7 @@ class Trainer:
         last_panel = None
         device_conf = None
         device_loss_sums: dict | None = None
+        device_diag_sums: dict | None = None
         n_steps = 0
         for i, host_batch in enumerate(pipe.epoch(epoch)):
             batch = shard_batch(host_batch, self.mesh)
@@ -155,6 +156,13 @@ class Trainer:
                 else:
                     device_loss_sums = {
                         k: device_loss_sums[k] + v for k, v in losses.items()}
+            diag = metrics.get("diag") if train else None
+            if diag:
+                if device_diag_sums is None:
+                    device_diag_sums = dict(diag)
+                else:
+                    device_diag_sums = {
+                        k: device_diag_sums[k] + v for k, v in diag.items()}
 
             proc_time = time.time() - t_proc
             self.remain_time.update(time.time() - t_start, mode)
@@ -202,6 +210,16 @@ class Trainer:
             for k, v in epoch_loss.items():
                 if k in meters:
                     self.recorder.scalar(f"{mode}_Loss_{k}", v, epoch)
+        if device_diag_sums is not None:
+            # prototype-memory health (models/prototypes.py:
+            # prototype_diagnostics) — epoch means from device accumulators
+            epoch_diag = {k: float(v) / max(n_steps, 1)
+                          for k, v in device_diag_sums.items()}
+            for k, v in epoch_diag.items():
+                self.recorder.scalar(f"{mode}_{k}", v, epoch)
+            log.info(">>> Epoch %d proto diag: %s", epoch + 1, " ".join(
+                f"{k.removeprefix('proto_')}={v:.4f}"
+                for k, v in epoch_diag.items()))
         class_names = getattr(
             pipe.dataset, "label_spec", None)
         for c, iou in enumerate(np.asarray(class_iou)):

@@ -77,6 +77,26 @@ def test_contrast_step_runs(setup):
     assert float(jnp.abs(s.prototypes - state.prototypes).sum()) > 0
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(s.prototypes), axis=-1), 1.0, rtol=1e-5)
+    # memory-health diagnostics ride along with the contrast specialization
+    diag = {k: float(v) for k, v in metrics["diag"].items()}
+    assert set(diag) == {"proto_inter_sim", "proto_intra_sim", "proto_drift"}
+    assert all(np.isfinite(v) for v in diag.values())
+    assert diag["proto_drift"] > 0  # EMA moved the memory
+    # random-init D=32 prototypes are near-orthogonal across classes
+    assert abs(diag["proto_inter_sim"]) < 0.5
+
+
+def test_contrast_step_diag_frozen_prototypes(setup):
+    cfg, batch, state, alpha = setup
+    cfg = dataclasses.replace(
+        cfg, contrast=dataclasses.replace(cfg.contrast, use_prototype=False))
+    step = jax.jit(make_train_step(cfg, alpha, with_contrast=True))
+    s, metrics = step(state, batch, 0.2)
+    # frozen memory: diagnostics still reported, drift exactly zero
+    np.testing.assert_array_equal(
+        np.asarray(s.prototypes), np.asarray(state.prototypes))
+    assert float(metrics["diag"]["proto_drift"]) == 0.0
+    assert np.isfinite(float(metrics["diag"]["proto_inter_sim"]))
 
 
 def test_eval_step_and_metrics(setup):
