@@ -13,6 +13,11 @@ contrast component:
   noentropy   — entropy_selection=false (anchors from weak labels only)
   noproto     — use_prototype=false (frozen random prototypes — the
                 reference's SHIPPED default, its defect #2)
+  minimal     — both ablations composed: frozen random prototypes AND
+                weak-only anchors (contrast as a fixed-target InfoNCE on
+                the true weak labels). Added after the r3 45-epoch grid
+                showed noproto and noentropy EACH learning faster than
+                full on every seed; tests whether the effects compose.
 
 All arms/seeds run in ONE process so jit programs and the tunnel are paid
 once; identical-config different-seed runs reuse the persistent compile
@@ -35,6 +40,8 @@ ARMS = {
     "nocontrast": ["contrast.loss_w_contrast=0"],
     "noentropy": ["contrast.entropy_selection=false"],
     "noproto": ["contrast.use_prototype=false"],
+    "minimal": ["contrast.use_prototype=false",
+                "contrast.entropy_selection=false"],
 }
 
 
