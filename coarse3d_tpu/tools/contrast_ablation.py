@@ -24,6 +24,14 @@ once; identical-config different-seed runs reuse the persistent compile
 cache. Emits a JSON report (per-run series, per-arm mean+-std of best and
 last-5-epoch-mean val mIoU) for the PERF.md table.
 
+EMA-timescale caveat (PERF.md r3 phase 1): the reference's
+proto_momentum=0.999 is an EMA time-constant of 1000 steps, tuned for its
+~230k-step KITTI schedule. On a short synthetic schedule (16 steps/epoch)
+the memory never leaves random init and `full` silently degenerates into
+`noproto`. For prototype-EMA arms pass
+`--set contrast.proto_momentum=<m>` with m ~= 1 - 1/(0.5*steps_per_epoch)
+so the time-constant stays a sub-epoch fraction of training.
+
   python -m coarse3d_tpu.tools.contrast_ablation --out /tmp/ablation.json \
       --seeds 1 2 3 --epochs 24 --scans 64 --points 120000 --weak 0.001
 """
