@@ -189,10 +189,9 @@ def _write(args, runs):
     import numpy as np
 
     summary = {}
-    for arm in args.arms:
+    arms_present = [a for a in ARMS if any(r["arm"] == a for r in runs)]
+    for arm in arms_present:
         rows = [r for r in runs if r["arm"] == arm]
-        if not rows:
-            continue
         summary[arm] = {
             "n": len(rows),
             "best_mean": float(np.mean([r["best"] for r in rows])),
@@ -200,8 +199,32 @@ def _write(args, runs):
             "last5_mean": float(np.mean([r["last5"] for r in rows])),
             "last5_std": float(np.std([r["last5"] for r in rows])),
         }
+    # Paired per-seed deltas vs the warmup-only baseline: arms at one seed
+    # share the scene layout, weak subset, AND model init (both keyed on the
+    # run seed), so the seed-matched delta cancels the breakthrough-timing
+    # variance that dominates the raw per-arm std (PERF.md r3 phase 1).
+    paired = {}
+    base = {r["seed"]: r for r in runs if r["arm"] == "nocontrast"}
+    for arm in arms_present:
+        if arm == "nocontrast":
+            continue
+        pairs = [(r, base[r["seed"]]) for r in runs
+                 if r["arm"] == arm and r["seed"] in base]
+        if not pairs:
+            continue
+        d_best = [r["best"] - b["best"] for r, b in pairs]
+        d_last5 = [r["last5"] - b["last5"] for r, b in pairs]
+        paired[f"{arm}-nocontrast"] = {
+            "n": len(pairs),
+            "seeds": [r["seed"] for r, _ in pairs],
+            "best_delta": [round(d, 4) for d in d_best],
+            "best_delta_mean": float(np.mean(d_best)),
+            "best_delta_std": float(np.std(d_best)),
+            "last5_delta_mean": float(np.mean(d_last5)),
+            "last5_delta_std": float(np.std(d_last5)),
+        }
     report = {"config": {k: v for k, v in vars(args).items()},
-              "runs": runs, "summary": summary}
+              "runs": runs, "summary": summary, "paired": paired}
     out_dir = os.path.dirname(args.out)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -182,6 +182,13 @@ def test_contrast_ablation_merge(tmp_path):
     assert [(r["arm"], r["seed"]) for r in rep["runs"]] == [
         ("full", 1), ("nocontrast", 1), ("full", 2), ("nocontrast", 2)]
     assert json.loads(out.read_text())["summary"] == rep["summary"]
+    # seed-matched paired deltas vs the warmup-only baseline (arms at one
+    # seed share data + init, so this cancels breakthrough-timing variance)
+    pd = rep["paired"]["full-nocontrast"]
+    assert pd["n"] == 2 and pd["seeds"] == [1, 2]
+    np.testing.assert_allclose(pd["best_delta"], [0.2, 0.2])
+    np.testing.assert_allclose(pd["best_delta_mean"], 0.2)
+    np.testing.assert_allclose(pd["best_delta_std"], 0.0, atol=1e-12)
 
     # duplicate (arm, seed) pairs across reports are a hard error
     import pytest as _pytest
