@@ -87,6 +87,12 @@ class ContrastConfig:
     num_anchor: int = 512
     entropy_selection: bool = True
     sub_proto_size: int = 20
+    # EMA time-constant is 1/(1-m) optimizer steps: 0.999 == 1000 steps,
+    # ~0.4 epoch on the reference's KITTI schedule (~2.4k steps/epoch). On
+    # short schedules (few steps/epoch) the memory never leaves random init
+    # and contrast silently degenerates into the frozen-prototype mode —
+    # scale m so 1/(1-m) stays a sub-epoch fraction of training
+    # (PERF.md "r3 ablation grid, phase 1").
     proto_momentum: float = 0.999
     proj_dim: int = 256
     # Fixed per-class pixel budget for the masked Sinkhorn / EMA prototype
