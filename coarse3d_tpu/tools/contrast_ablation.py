@@ -50,6 +50,11 @@ ARMS = {
     "noproto": ["contrast.use_prototype=false"],
     "minimal": ["contrast.use_prototype=false",
                 "contrast.entropy_selection=false"],
+    # the TPU-native space-to-depth stem with the FULL contrast mechanism:
+    # pairs s2d against `full` on the same seeds/data so the 88.5 scans/s
+    # config's accuracy question (PERF.md "space-to-depth stem") is settled
+    # by the same grid instead of a separate synthetic-easy protocol
+    "s2d": ["model.stem=s2d"],
 }
 
 
@@ -159,10 +164,26 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.merge:
-        runs, seen = [], set()
+        # per-part grid configs must agree on everything that defines the
+        # task/recipe; invocation bookkeeping keys are exempt. A mismatch
+        # would silently merge non-comparable runs into one summary.
+        exempt = {"merge", "arms", "seeds", "out", "work", "num_workers"}
+        runs, seen, part_cfgs, ref_cfg = [], set(), {}, None
         for path in args.merge:
             with open(path) as f:
                 part = json.load(f)
+            cfg = {k: v for k, v in part.get("config", {}).items()
+                   if k not in exempt}
+            part_cfgs[path] = part.get("config", {})
+            if ref_cfg is None:
+                ref_cfg = cfg
+            elif cfg != ref_cfg:
+                diff = {k: (ref_cfg.get(k), cfg.get(k))
+                        for k in set(ref_cfg) | set(cfg)
+                        if ref_cfg.get(k) != cfg.get(k)}
+                raise SystemExit(
+                    f"--merge: grid config of {path} differs from "
+                    f"{args.merge[0]}: {diff}")
             for r in part["runs"]:
                 key = (r["arm"], r["seed"])
                 if key in seen:
@@ -170,8 +191,12 @@ def main(argv=None):
                         f"--merge: duplicate run {key} in {path}")
                 seen.add(key)
                 runs.append(r)
-        runs.sort(key=lambda r: (r["seed"], list(ARMS).index(r["arm"])))
-        report = _write(args, runs)
+        arm_order = list(ARMS)
+        runs.sort(key=lambda r: (
+            r["seed"],
+            arm_order.index(r["arm"]) if r["arm"] in arm_order
+            else len(arm_order), r["arm"]))
+        report = _write(args, runs, source_configs=part_cfgs)
         print(json.dumps(report["summary"], indent=2))
         return report
 
@@ -185,7 +210,7 @@ def main(argv=None):
     return report
 
 
-def _write(args, runs):
+def _write(args, runs, source_configs=None):
     import numpy as np
 
     summary = {}
@@ -204,27 +229,35 @@ def _write(args, runs):
     # run seed), so the seed-matched delta cancels the breakthrough-timing
     # variance that dominates the raw per-arm std (PERF.md r3 phase 1).
     paired = {}
-    base = {r["seed"]: r for r in runs if r["arm"] == "nocontrast"}
-    for arm in arms_present:
-        if arm == "nocontrast":
-            continue
-        pairs = [(r, base[r["seed"]]) for r in runs
-                 if r["arm"] == arm and r["seed"] in base]
-        if not pairs:
-            continue
-        d_best = [r["best"] - b["best"] for r, b in pairs]
-        d_last5 = [r["last5"] - b["last5"] for r, b in pairs]
-        paired[f"{arm}-nocontrast"] = {
-            "n": len(pairs),
-            "seeds": [r["seed"] for r, _ in pairs],
-            "best_delta": [round(d, 4) for d in d_best],
-            "best_delta_mean": float(np.mean(d_best)),
-            "best_delta_std": float(np.std(d_best)),
-            "last5_delta_mean": float(np.mean(d_last5)),
-            "last5_delta_std": float(np.std(d_last5)),
-        }
+    # every arm pairs against the warmup-only baseline; the s2d stem also
+    # pairs against `full` (same mechanism, different backbone stem — the
+    # promotion question is "does s2d cost accuracy vs parity", PERF.md)
+    baselines = ["nocontrast"] + (["full"] if "s2d" in arms_present else [])
+    for base_arm in baselines:
+        base = {r["seed"]: r for r in runs if r["arm"] == base_arm}
+        arms_vs = (arms_present if base_arm == "nocontrast" else ["s2d"])
+        for arm in arms_vs:
+            if arm == base_arm:
+                continue
+            pairs = [(r, base[r["seed"]]) for r in runs
+                     if r["arm"] == arm and r["seed"] in base]
+            if not pairs:
+                continue
+            d_best = [r["best"] - b["best"] for r, b in pairs]
+            d_last5 = [r["last5"] - b["last5"] for r, b in pairs]
+            paired[f"{arm}-{base_arm}"] = {
+                "n": len(pairs),
+                "seeds": [r["seed"] for r, _ in pairs],
+                "best_delta": [round(d, 4) for d in d_best],
+                "best_delta_mean": float(np.mean(d_best)),
+                "best_delta_std": float(np.std(d_best)),
+                "last5_delta_mean": float(np.mean(d_last5)),
+                "last5_delta_std": float(np.std(d_last5)),
+            }
     report = {"config": {k: v for k, v in vars(args).items()},
               "runs": runs, "summary": summary, "paired": paired}
+    if source_configs:
+        report["source_configs"] = source_configs
     out_dir = os.path.dirname(args.out)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
