@@ -41,6 +41,22 @@ def _per_class_loss(fg: jnp.ndarray, pred: jnp.ndarray, valid: jnp.ndarray):
     return loss, present
 
 
+def lovasz_budget_overflow(
+    labels: jnp.ndarray, ignore: int, budget: int
+) -> jnp.ndarray:
+    """Valid pixels beyond the `budget` sort cap of lovasz_softmax_loss.
+
+    The budgeted loss silently drops surplus valid pixels (see
+    `lovasz_softmax_loss`); this scalar makes the "exact as long as it
+    fits" claim observable — any value > 0 means the loss was truncated
+    and `train.lovasz_budget` must be raised. Shares the loss's exact
+    validity semantics (flattened `labels != ignore`); the reference sorts
+    every valid pixel and cannot truncate (lovasz_softmax.py:101-134).
+    """
+    n_valid = jnp.sum(labels.reshape(-1) != ignore)
+    return jnp.maximum(n_valid - budget, 0).astype(jnp.int32)
+
+
 def lovasz_softmax_loss(
     probs: jnp.ndarray,
     labels: jnp.ndarray,

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from coarse3d_tpu.configs.config import ExperimentConfig
 from coarse3d_tpu.eval.unproject import unproject_image
 from coarse3d_tpu.losses import focal_softmax_loss, lovasz_softmax_loss
+from coarse3d_tpu.losses.lovasz import lovasz_budget_overflow
 from coarse3d_tpu.losses.contrast import contrast_mem_loss
 from coarse3d_tpu.losses.entropy_selection import entropy_based_selection
 from coarse3d_tpu.metrics import confusion_matrix
@@ -96,6 +97,12 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool,
                     probs, train_label, ignore=cfg.train.ignore_cls,
                     budget=cfg.train.lovasz_budget or None)
                 total = total + cfg.train.loss_w_lov_2d * losses["lovasz"]
+                if cfg.train.lovasz_budget:
+                    # not a loss: truncation sentinel (rides the losses
+                    # accumulator; Trainer warns loudly when it sums > 0)
+                    losses["lovasz_overflow"] = lovasz_budget_overflow(
+                        train_label, cfg.train.ignore_cls,
+                        cfg.train.lovasz_budget).astype(jnp.float32)
 
             if with_contrast and cfg.contrast.loss_w_contrast > 0:
                 embedding = out["embedding"]

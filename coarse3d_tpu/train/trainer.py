@@ -191,6 +191,14 @@ class Trainer:
         epoch_loss = {
             k: float(v) / max(n_steps, 1)
             for k, v in (device_loss_sums or {}).items()}
+        if epoch_loss.get("lovasz_overflow", 0.0) > 0:
+            # losses/lovasz.py:lovasz_budget_overflow — the budgeted sort
+            # DROPPED valid pixels this epoch; the loss is no longer exact
+            log.error(
+                ">>> LOVASZ BUDGET OVERFLOW: mean %.1f valid pixels/step "
+                "beyond train.lovasz_budget=%d were dropped — the Lovász "
+                "loss is truncated; raise the budget.",
+                epoch_loss["lovasz_overflow"], self.cfg.train.lovasz_budget)
         if last_panel is not None:
             last_panel = (np.asarray(last_panel[0][0]), last_panel[1],
                           last_panel[2])

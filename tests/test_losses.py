@@ -133,3 +133,26 @@ def test_lovasz_budget_exact_when_sparse(rng):
     capped = float(lovasz_softmax_loss(
         jnp.asarray(probs), jnp.asarray(labels), budget=512))
     np.testing.assert_allclose(capped, full, rtol=1e-6)
+
+
+def test_lovasz_budget_overflow_detection(rng):
+    """lovasz_budget_overflow: 0 while the valid set fits, exact surplus
+    count (and an actually-different loss) once the sort budget truncates."""
+    from coarse3d_tpu.losses.lovasz import lovasz_budget_overflow
+
+    n, c = 4096, 8
+    probs = rng.random((n, c)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    labels = rng.integers(1, c, n)  # every pixel valid
+    labels[: n // 2] = 0            # half ignored -> n//2 valid
+
+    assert int(lovasz_budget_overflow(jnp.asarray(labels), 0, n)) == 0
+    assert int(lovasz_budget_overflow(jnp.asarray(labels), 0, n // 2)) == 0
+    got = int(lovasz_budget_overflow(jnp.asarray(labels), 0, 512))
+    assert got == n // 2 - 512
+
+    # overflow > 0 coincides with real truncation: budgeted != full loss
+    full = float(lovasz_softmax_loss(jnp.asarray(probs), jnp.asarray(labels)))
+    capped = float(lovasz_softmax_loss(
+        jnp.asarray(probs), jnp.asarray(labels), budget=512))
+    assert abs(capped - full) > 1e-4

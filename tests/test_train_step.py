@@ -163,3 +163,29 @@ def test_eval_step_with_crf(setup):
         np.asarray(batch["point_valid"]).sum())
     assert (np.asarray(crf["argmax_2d"]) !=
             np.asarray(plain["argmax_2d"])).any()
+
+
+def test_lovasz_overflow_metric_in_step():
+    """With a deliberately tiny lovasz_budget the train step must surface
+    the truncation sentinel (losses/lovasz.py:lovasz_budget_overflow) in
+    its metrics; with a sufficient budget the sentinel reads 0."""
+    cfg = tiny_config(train={"lovasz_budget": 8})
+    rng = np.random.default_rng(1)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        rng, cfg, batch_size=2, n_points=3000, weak_ratio=0.05).items()}
+    state = build_state(cfg, jax.random.key(0), steps_per_epoch=10,
+                        batch_size=2)
+    step = jax.jit(make_train_step(cfg, build_alpha(cfg),
+                                   with_contrast=False))
+    _, metrics = step(state, batch)
+    n_valid = int((batch["train_label"] > 0).sum())
+    assert n_valid > 8  # the batch actually overflows the tiny budget
+    assert int(metrics["losses"]["lovasz_overflow"]) == n_valid - 8
+
+    cfg_ok = tiny_config(train={"lovasz_budget": 16384})
+    state_ok = build_state(cfg_ok, jax.random.key(0), steps_per_epoch=10,
+                           batch_size=2)
+    step_ok = jax.jit(make_train_step(cfg_ok, build_alpha(cfg_ok),
+                                      with_contrast=False))
+    _, m_ok = step_ok(state_ok, batch)
+    assert int(m_ok["losses"]["lovasz_overflow"]) == 0
