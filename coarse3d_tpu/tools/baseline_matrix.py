@@ -62,7 +62,9 @@ def _plan_row(args, dataset: str, ratio: str) -> list[list[str]]:
                          "--preset", dataset,
                          "--pcd_root", args.pcd_root,
                          "--weights", converted, "--knn",
-                         "--num_workers", str(args.num_workers)]
+                         "--num_workers", str(args.num_workers),
+                         "--summary_json",
+                         os.path.join(work, "eval_summary.json")]
         for ov in args.extra_set:
             eval_cmd += ["--set", ov]
         cmds.append(eval_cmd)
@@ -94,7 +96,9 @@ def _plan_row(args, dataset: str, ratio: str) -> list[list[str]]:
                      "--preset", dataset,
                      "--pcd_root", args.pcd_root,
                      "--run_dir", work, "--ckpt", "best_3DIOU", "--knn",
-                     "--num_workers", str(args.num_workers)]
+                     "--num_workers", str(args.num_workers),
+                     "--summary_json",
+                     os.path.join(work, "eval_summary.json")]
     for ov in args.extra_set:
         eval_cmd += ["--set", ov]
     cmds.append(eval_cmd)
@@ -182,12 +186,14 @@ def main(argv=None):
     os.makedirs(args.work, exist_ok=True)
     report = []
     for (d, r), cmds in plans.items():
-        out = ""
         for cmd in cmds:
-            out = _run(cmd)
-        # last line of evaluate's stdout is its JSON summary
-        result = json.loads(
-            [ln for ln in out.splitlines() if ln.startswith("{")][-1])
+            _run(cmd)
+        # evaluate wrote its summary to a file (--summary_json); parsing
+        # the merged stdout/stderr tail was corruptible by late warnings
+        # (ADVICE r3)
+        summary_path = cmds[-1][cmds[-1].index("--summary_json") + 1]
+        with open(summary_path) as f:
+            result = json.load(f)
         published = PUBLISHED_MIOU.get((d, r))
         report.append({
             "dataset": d, "ratio": r,

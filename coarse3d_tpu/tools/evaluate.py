@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 
 
 def main(argv=None):
@@ -72,6 +73,9 @@ def main(argv=None):
     p.add_argument("--split", default="val",
                    help="split name stamped into the nuScenes submission "
                         "tree (val/test)")
+    p.add_argument("--summary_json", metavar="PATH",
+                   help="also write the JSON summary to this file "
+                        "(robust seam for wrapping drivers)")
     args = p.parse_args(argv)
 
     import jax
@@ -138,6 +142,12 @@ def main(argv=None):
     state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
                         batch_size=bs)
 
+    if args.weights and (args.run_dir or args.ckpt != "latest"):
+        # --weights would silently shadow the Orbax selection and the user
+        # could unknowingly score the msgpack weights instead of best_3DIOU
+        raise SystemExit(
+            "--weights is mutually exclusive with --run_dir/--ckpt: pass "
+            "exactly one checkpoint source")
     if args.weights:
         import flax.serialization
 
@@ -238,6 +248,15 @@ def main(argv=None):
     }
     print(json.dumps(results))
     results["class_iou"] = np.asarray(class_iou).tolist()
+    if args.summary_json:
+        # machine-readable seam for drivers (tools/baseline_matrix.py):
+        # parsing the merged stdout/stderr tail is corruptible by late
+        # library warnings (ADVICE r3), a file is not
+        parent = os.path.dirname(args.summary_json)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(args.summary_json, "w") as f:
+            json.dump(results, f, indent=2)
     return results
 
 

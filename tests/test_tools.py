@@ -527,3 +527,44 @@ def test_baseline_matrix_live_mini(tmp_path, rng, monkeypatch):
     report = (work / "baseline_report.md").read_text()
     assert "semantic_kitti" in report and "57.57" in report
     assert (work / "baseline_report.json").exists()
+
+
+def test_evaluate_weights_ckpt_conflict(tmp_path):
+    """--weights combined with --run_dir or a non-default --ckpt must error
+    instead of silently ignoring the Orbax selection (ADVICE r3)."""
+    import pytest
+
+    from coarse3d_tpu.tools.evaluate import main as eval_main
+
+    base = ["--preset", "semantic_kitti", "--synthetic", "1",
+            "--synthetic_points", "500", "--num_workers", "1",
+            "--set", "sensor.proj_h=16", "--set", "sensor.proj_w=64",
+            "--set", "data.max_points=1024",
+            "--set", "model.compute_dtype=float32",
+            "--set", "train.batch_size_val=1"]
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        eval_main(base + ["--weights", "x.msgpack", "--run_dir", "y"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        eval_main(base + ["--weights", "x.msgpack", "--ckpt", "best_3DIOU"])
+
+
+def test_evaluate_summary_json(tmp_path):
+    """--summary_json writes the machine-readable summary file (the seam
+    tools/baseline_matrix.py parses instead of the merged-output tail)."""
+    import json as _json
+
+    from coarse3d_tpu.tools.evaluate import main as eval_main
+
+    path = tmp_path / "nested" / "summary.json"
+    res = eval_main(
+        ["--preset", "semantic_kitti", "--synthetic", "2",
+         "--synthetic_points", "800", "--num_workers", "1",
+         "--summary_json", str(path),
+         "--set", "sensor.proj_h=16", "--set", "sensor.proj_w=64",
+         "--set", "data.max_points=1024", "--set", "data.n_classes=5",
+         "--set", "data.cls_counts=[0,100,100,100,100]",
+         "--set", "model.compute_dtype=float32",
+         "--set", "train.batch_size_val=1"])
+    on_disk = _json.loads(path.read_text())
+    assert on_disk["mIoU_3D"] == res["mIoU_3D"]
+    assert on_disk["scans"] == 2
