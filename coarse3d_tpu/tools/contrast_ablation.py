@@ -144,6 +144,16 @@ def main(argv=None):
                         "summary recomputed) into --out instead of training; "
                         "the per-seed-subprocess workflow that bounds the "
                         "axon transfer leak (CLAUDE.md) produces these")
+    p.add_argument("--merge_exempt", nargs="+", default=[], metavar="KEY",
+                   help="config keys additionally exempted from the --merge "
+                        "config-match check. Only for parts PROVABLY "
+                        "comparable despite the differing key — e.g. 'set' "
+                        "when the only override is contrast.proto_momentum "
+                        "and every merged arm in the momentum-less parts is "
+                        "momentum-independent (nocontrast/noproto/minimal "
+                        "never run the EMA update, train/step.py:126). The "
+                        "exemption is recorded in the merged report's "
+                        "config for the reader to audit.")
     p.add_argument("--arms", nargs="+", default=list(ARMS),
                    choices=list(ARMS))
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
@@ -167,7 +177,8 @@ def main(argv=None):
         # per-part grid configs must agree on everything that defines the
         # task/recipe; invocation bookkeeping keys are exempt. A mismatch
         # would silently merge non-comparable runs into one summary.
-        exempt = {"merge", "arms", "seeds", "out", "work", "num_workers"}
+        exempt = {"merge", "merge_exempt", "arms", "seeds", "out", "work",
+                  "num_workers"} | set(args.merge_exempt)
         runs, seen, part_cfgs, ref_cfg = [], set(), {}, None
         for path in args.merge:
             with open(path) as f:

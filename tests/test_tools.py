@@ -568,3 +568,39 @@ def test_evaluate_summary_json(tmp_path):
     on_disk = _json.loads(path.read_text())
     assert on_disk["mIoU_3D"] == res["mIoU_3D"]
     assert on_disk["scans"] == 2
+
+
+def test_contrast_ablation_merge_exempt(tmp_path):
+    """--merge rejects parts with differing grid configs; --merge_exempt KEY
+    lifts the check for an explicitly asserted key and is recorded in the
+    merged report (the phase-1-reuse seam for momentum-independent arms)."""
+    import json as _json
+
+    import pytest
+
+    from coarse3d_tpu.tools.contrast_ablation import main as abl_main
+
+    base_cfg = {"epochs": 2, "scans": 4, "points": 100, "classes": 4,
+                "weak": 0.01, "segments": 4, "modes": 1, "noise": 0.15,
+                "label_noise": 0.0, "set": []}
+    run = {"arm": "nocontrast", "seed": 1, "series": [0.1, 0.2],
+           "best": 0.2, "last5": 0.15}
+    p1 = tmp_path / "p1.json"
+    p1.write_text(_json.dumps({"config": base_cfg, "runs": [run]}))
+    cfg2 = dict(base_cfg, set=["contrast.proto_momentum=0.9"])
+    run2 = dict(run, arm="full", best=0.3)
+    p2 = tmp_path / "p2.json"
+    p2.write_text(_json.dumps({"config": cfg2, "runs": [run2]}))
+
+    argv_tail = ["--out", str(tmp_path / "m.json"),
+                 "--epochs", "2", "--scans", "4", "--points", "100",
+                 "--classes", "4", "--weak", "0.01", "--segments", "4",
+                 "--modes", "1"]
+    with pytest.raises(SystemExit, match="differs"):
+        abl_main(["--merge", str(p1), str(p2)] + argv_tail)
+
+    rep = abl_main(["--merge", str(p1), str(p2), "--merge_exempt", "set"]
+                   + argv_tail)
+    assert {r["arm"] for r in rep["runs"]} == {"nocontrast", "full"}
+    assert rep["config"]["merge_exempt"] == ["set"]
+    assert rep["paired"]["full-nocontrast"]["n"] == 1
