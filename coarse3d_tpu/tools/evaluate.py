@@ -40,6 +40,10 @@ def main(argv=None):
                         "module; the default compatibility kernel is "
                         "untrained — measured mIoU effect is recorded in "
                         "PARITY.md (CRF entry) before relying on it")
+    p.add_argument("--crf_kernel", metavar="NPZ",
+                   help="trained compatibility kernel from "
+                        "tools/train_crf.py (implies --crf semantics only "
+                        "when --crf is also passed)")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--synthetic", type=int, default=0)
@@ -170,8 +174,12 @@ def main(argv=None):
         ckpt.close()
 
     state = replicate_to_mesh(state, mesh)
+    crf_kernel = None
+    if args.crf_kernel:
+        crf_kernel = np.load(args.crf_kernel)["kernel"]
     eval_step = jax.jit(
         make_eval_step(cfg, use_knn=args.knn, use_crf=args.crf,
+                       crf_kernel=crf_kernel,
                        return_point_pred=bool(args.save_preds)))
     evaluator = ConfusionState(cfg.data.n_classes,
                                ignore=(cfg.train.ignore_cls,))

@@ -1,0 +1,155 @@
+"""Post-hoc training of the CRF compatibility kernel on a frozen checkpoint.
+
+The reference ships the locally-connected xyz CRF with a LEARNABLE (C, C)
+compatibility conv (postproc/crf.py:96-103) but never wires or trains it;
+with the untrained init the refinement measurably hurts (PARITY.md CRF
+entry, −1.6 mIoU on the hard task). This tool settles whether the module is
+salvageable (VERDICT r3 next #7): freeze a trained segmentation checkpoint,
+and fit ONLY the compatibility matrix by cross-entropy of the CRF-refined
+probabilities against the weak training labels — the only supervision the
+weak-label setting legitimately has.
+
+  python -m coarse3d_tpu.tools.train_crf --run_dir RUN --ckpt best_3DIOU \
+      --synthetic 64 --synthetic_task hard ... --out RUN/crf_kernel.npz
+  python -m coarse3d_tpu.tools.evaluate --run_dir RUN --ckpt best_3DIOU \
+      --crf --crf_kernel RUN/crf_kernel.npz ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--ckpt", default="best_3DIOU")
+    p.add_argument("--preset", default="semantic_kitti")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic_task", choices=("bands", "hard"),
+                   default="hard")
+    p.add_argument("--synthetic_points", type=int, default=0)
+    p.add_argument("--synthetic_seed", type=int, default=0)
+    p.add_argument("--synthetic_segments", type=int, default=None)
+    p.add_argument("--synthetic_modes", type=int, default=None)
+    p.add_argument("--synthetic_noise", type=float, default=None)
+    p.add_argument("--weak", type=float, default=0.0001,
+                   help="synthetic weak-label ratio (match the training run)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE")
+    p.add_argument("--out", required=True, help="output .npz kernel path")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from coarse3d_tpu.configs import apply_overrides, preset
+    from coarse3d_tpu.data.pipeline import DataPipeline
+    from coarse3d_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
+    from coarse3d_tpu.postproc.crf import crf_refine, init_compat_kernel
+    from coarse3d_tpu.train.checkpoint import CheckpointManager
+    from coarse3d_tpu.train.setup import build_state
+    from coarse3d_tpu.train.step import _prepare_inputs
+
+    cfg = preset(args.preset)
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
+
+    if args.synthetic:
+        from coarse3d_tpu.data.synthetic import (SyntheticDataset,
+                                                 SyntheticHardDataset)
+
+        ds_kw = {}
+        if args.synthetic_task == "hard":
+            ds_cls = SyntheticHardDataset
+            if args.synthetic_segments is not None:
+                ds_kw["n_segments"] = args.synthetic_segments
+            if args.synthetic_modes is not None:
+                ds_kw["modes_per_class"] = args.synthetic_modes
+            if args.synthetic_noise is not None:
+                ds_kw["noise"] = args.synthetic_noise
+        else:
+            ds_cls = SyntheticDataset
+        n_pts = args.synthetic_points or min(20000, cfg.data.max_points // 2)
+        ds = ds_cls(args.synthetic, n_pts, cfg.data.n_classes, cfg.sensor,
+                    weak_ratio=args.weak, seed=args.synthetic_seed, **ds_kw)
+    else:
+        from coarse3d_tpu.data.datasets import build_dataset
+
+        ds = build_dataset(cfg, "train")
+
+    bs = args.batch_size or cfg.train.batch_size_train * \
+        jax.local_device_count()
+    import math
+
+    mesh = make_mesh(math.gcd(bs, jax.local_device_count()),
+                     devices=jax.local_devices())
+    # train=False: no augmentation — the 64-odd kernel params don't need it
+    # and clean projections keep the xyz messages consistent across epochs
+    pipe = DataPipeline(ds, cfg, bs, train=False,
+                        num_workers=args.num_workers)
+
+    state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
+                        batch_size=bs)
+    ckpt = CheckpointManager(args.run_dir)
+    if args.ckpt == "latest":
+        state, _ = ckpt.restore(state)
+    else:
+        state = ckpt.restore_best(state, key=args.ckpt.removeprefix("best_"))
+    ckpt.close()
+    state = replicate_to_mesh(state, mesh)
+
+    kernel = init_compat_kernel(cfg.data.n_classes, xyz_coef=0.1)
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(kernel)
+
+    def loss_fn(k, batch):
+        features, train_label, _, wss_mask, eval_mask = _prepare_inputs(
+            batch, cfg)
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            features, train=False, return_feat=False)
+        probs = jax.nn.softmax(out["logits"].astype(jnp.float32), axis=-1)
+        refined = crf_refine(
+            batch["features"][..., 1:4].astype(jnp.float32), probs,
+            eval_mask, k)
+        logp = jnp.log(refined + 1e-10)
+        picked = jnp.take_along_axis(
+            logp, train_label[..., None], axis=-1)[..., 0]
+        m = wss_mask.astype(jnp.float32)
+        return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    @jax.jit
+    def step(k, o, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(k, batch)
+        updates, o = opt.update(grads, o)
+        return optax.apply_updates(k, updates), o, loss
+
+    history = []
+    for epoch in range(args.epochs):
+        losses = []
+        for host_batch in pipe.epoch(epoch):
+            batch = shard_batch(host_batch, mesh)
+            kernel, opt_state, loss = step(kernel, opt_state, batch)
+            losses.append(loss)
+        mean = float(jnp.mean(jnp.stack(losses)))
+        history.append(round(mean, 5))
+        print(f"epoch {epoch + 1}/{args.epochs} weak-CE {mean:.5f}",
+              flush=True)
+
+    np.savez(args.out, kernel=np.asarray(kernel),
+             history=np.asarray(history, np.float32))
+    print(json.dumps({"out": args.out, "history": history}))
+    return {"kernel": np.asarray(kernel), "history": history}
+
+
+if __name__ == "__main__":
+    main()

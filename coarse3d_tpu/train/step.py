@@ -162,14 +162,17 @@ def make_train_step(cfg: ExperimentConfig, alpha, *, with_contrast: bool,
 
 
 def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False,
-                   return_point_pred: bool = False, use_crf: bool = False):
+                   return_point_pred: bool = False, use_crf: bool = False,
+                   crf_kernel=None):
     """`use_knn` applies the KNN range cleanup to the unprojected labels
     before the confusion matrix — the reference's published numbers include
     it even though its shipped trainer never calls it (SURVEY §5.1 #10).
     `use_crf` refines the 2D softmax with the locally-connected xyz CRF
     before the argmax — the reference ships this module but never exports
     or calls it (postproc/crf.py, SURVEY §5.1 #8 adjacent); here it is an
-    opt-in with the reference's default (untrained) compatibility init."""
+    opt-in. `crf_kernel` supplies a TRAINED (C, C) compatibility matrix
+    (tools/train_crf.py); default is the reference's untrained init, which
+    measurably hurts (PARITY.md CRF entry)."""
 
     def eval_step(state: TrainState, batch: dict[str, Any]):
         features, _, _, _, eval_mask = _prepare_inputs(batch, cfg)
@@ -179,11 +182,14 @@ def make_eval_step(cfg: ExperimentConfig, use_knn: bool = False,
         if use_crf:
             from coarse3d_tpu.postproc.crf import crf_refine, init_compat_kernel
 
+            kernel = (jnp.asarray(crf_kernel, jnp.float32)
+                      if crf_kernel is not None
+                      else init_compat_kernel(cfg.data.n_classes,
+                                              xyz_coef=0.1))
             # feature channels 1:4 are the projected xyz (pipeline layout)
             refined = crf_refine(
                 batch["features"][..., 1:4].astype(jnp.float32),
-                jax.nn.softmax(out["logits"], axis=-1), eval_mask,
-                init_compat_kernel(cfg.data.n_classes, xyz_coef=0.1))
+                jax.nn.softmax(out["logits"], axis=-1), eval_mask, kernel)
             argmax_2d = jnp.argmax(refined, -1).astype(jnp.int32)
         else:
             # softmax is monotonic: argmax over logits is identical and lets

@@ -604,3 +604,40 @@ def test_contrast_ablation_merge_exempt(tmp_path):
     assert {r["arm"] for r in rep["runs"]} == {"nocontrast", "full"}
     assert rep["config"]["merge_exempt"] == ["set"]
     assert rep["paired"]["full-nocontrast"]["n"] == 1
+
+
+def test_train_crf_kernel_seam(tmp_path):
+    """tools/train_crf.py fits the CRF compatibility kernel on a frozen
+    tiny checkpoint and evaluate --crf --crf_kernel consumes it; the fitted
+    kernel must differ from the untrained init and the weak-CE must not
+    increase over training."""
+    import numpy as np
+
+    from coarse3d_tpu.postproc.crf import init_compat_kernel
+    from coarse3d_tpu.tools.evaluate import main as eval_main
+    from coarse3d_tpu.tools.train import main as train_main
+    from coarse3d_tpu.tools.train_crf import main as crf_main
+
+    save = tmp_path / "run"
+    common = ["--preset", "tiny", "--synthetic", "2",
+              "--synthetic_points", "500", "--num_workers", "1"]
+    train_main(common + ["--epochs", "1", "--batch_size", "2",
+                         "--save_path", str(save)])
+
+    out = tmp_path / "crf_kernel.npz"
+    res = crf_main(["--run_dir", str(save), "--ckpt", "latest",
+                    "--preset", "tiny", "--synthetic", "2",
+                    "--synthetic_task", "bands", "--synthetic_points", "500",
+                    "--weak", "0.01", "--num_workers", "1",
+                    "--batch_size", "2", "--epochs", "3", "--lr", "0.05",
+                    "--out", str(out)])
+    assert res["history"][-1] <= res["history"][0] + 1e-6
+    data = np.load(out)
+    n_cls = data["kernel"].shape[0]
+    init = np.asarray(init_compat_kernel(n_cls, 0.1))
+    assert np.abs(data["kernel"] - init).max() > 1e-4
+
+    summary = eval_main(common + [
+        "--run_dir", str(save), "--crf", "--crf_kernel", str(out),
+        "--batch_size", "2"])
+    assert summary["crf"] and 0.0 <= summary["mIoU_3D"] <= 1.0
