@@ -36,7 +36,8 @@ WARMUP = 3
 ITERS = 20
 
 
-def main_train(stem: str = "parity", batch: int = 4) -> None:
+def main_train(stem: str = "parity", batch: int = 4,
+               out: str | None = None) -> None:
     """Training-step throughput: one jitted full-contrast step, donated
     state, B=`batch`/chip (reference recipe: 4/GPU, run.sh)."""
     import dataclasses
@@ -73,14 +74,18 @@ def main_train(stem: str = "parity", batch: int = 4) -> None:
 
     scans_per_sec = batch * ITERS / dt
     suffix = "" if stem == "parity" and batch == 4 else f" ({stem}, B={batch})"
-    print(json.dumps({
+    row = json.dumps({
         "metric": "SemanticKITTI TRAIN scans/sec/chip "
                   f"(full contrast step){suffix}",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(
             scans_per_sec / BASELINE_TRAIN_SCANS_PER_SEC, 3),
-    }))
+    })
+    print(row)
+    if out:
+        with open(out, "a") as f:
+            f.write(row + "\n")
 
 
 def main() -> None:
@@ -139,8 +144,12 @@ if __name__ == "__main__":
     p.add_argument("--stem", default="parity", choices=("parity", "s2d"))
     p.add_argument("--batch", type=int, default=4,
                    help="per-chip train batch (reference recipe: 4)")
+    p.add_argument("--out", default=None, metavar="PATH",
+                   help="append the JSON result row to this file "
+                        "(externally-captured artifact, e.g. "
+                        "BENCH_TRAIN_r04.json)")
     args = p.parse_args()
     if args.train:
-        main_train(stem=args.stem, batch=args.batch)
+        main_train(stem=args.stem, batch=args.batch, out=args.out)
     else:
         main()

@@ -24,15 +24,36 @@ from coarse3d_tpu.ops.projection import (
 
 
 def make_inference_fn(model, variables, cfg: ExperimentConfig,
-                      use_knn: bool = True):
-    """Returns jitted (points (B, P, 4), valid (B, P)) -> labels (B, P)."""
+                      use_knn: bool = True,
+                      use_pallas_proj: bool | None = None):
+    """Returns jitted (points (B, P, 4), valid (B, P)) -> labels (B, P).
+
+    use_pallas_proj: replace the two XLA scatter passes of the projection
+    with the fused Pallas kernel (ops/pallas/proj_scatter.py). Default OFF:
+    the kernel beats the isolated 3-pass XLA projection by 16-25% (B=8/16,
+    identical winner semantics, r4 measurements) but measures ~4% SLOWER in
+    this composed program (223.6 vs 214.4 ms at B=16) — the pallas_call
+    boundary blocks XLA's cross-stage fusion by more than the kernel saves.
+    Kept opt-in for standalone-projection workloads; see PERF.md
+    "North-star Pallas kernels (r4)".
+    """
     sensor = cfg.sensor
     knn_cfg = cfg.knn
     n_classes = cfg.data.n_classes
+    if use_pallas_proj is None:
+        use_pallas_proj = False
+    if use_pallas_proj:
+        from coarse3d_tpu.ops.pallas.proj_scatter import (
+            range_project_batch_pallas,
+        )
+
+        project = range_project_batch_pallas
+    else:
+        project = range_project_batch
 
     @jax.jit
     def infer(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        proj = range_project_batch(points, valid, sensor=sensor)
+        proj = project(points, valid, sensor=sensor)
         feats = build_range_features(
             proj["proj_points"], proj["proj_range"], xp=jnp)
         mask = proj["proj_idx"] >= 0

@@ -54,17 +54,21 @@ def _kernel(feat_ref, valid_ref, protos_all_ref, protos_c_ref, gumbel_ref,
     var = jnp.mean((feat_raw - mu) ** 2, axis=-1, keepdims=True)
     feat = _l2((feat_raw - mu) * jax.lax.rsqrt(var + 1e-5))
 
-    # similarity to every sub-prototype: (M, C*K) on the MXU
+    # similarity to every sub-prototype: (M, C*K) on the MXU. The per-class
+    # max is a static-slice loop — Mosaic cannot lower the (M, C*K) ->
+    # (M, C, K) vector reshape (r4 measurement: "unsupported shape cast").
     sim_full = jnp.dot(feat, protos.reshape(n_classes * sub_k, d).T,
                        preferred_element_type=jnp.float32)
-    nearest = jnp.max(sim_full.reshape(m, n_classes, sub_k), axis=-1)
+    nearest = jnp.concatenate(
+        [jnp.max(sim_full[:, cc * sub_k:(cc + 1) * sub_k], axis=-1,
+                 keepdims=True) for cc in range(n_classes)], axis=-1)
 
     # mask_norm LayerNorm over classes + agreement with this class
     nmu = jnp.mean(nearest, axis=-1, keepdims=True)
     nvar = jnp.mean((nearest - nmu) ** 2, axis=-1, keepdims=True)
     nearest_ln = (nearest - nmu) * jax.lax.rsqrt(nvar + 1e-5)
-    pred = jnp.argmax(nearest_ln, axis=-1).astype(jnp.int32)  # (M,)
-    agree = (pred == c).astype(jnp.float32).reshape(-1, 1) * vcol  # (M, 1)
+    pred = jnp.argmax(nearest_ln, axis=-1, keepdims=True).astype(jnp.int32)
+    agree = (pred == c).astype(jnp.float32) * vcol  # (M, 1)
 
     # own-class block + masked Sinkhorn (ops/sinkhorn.py semantics)
     sim_c = jnp.dot(feat, protos_c.T,
@@ -84,9 +88,9 @@ def _kernel(feat_ref, valid_ref, protos_all_ref, protos_c_ref, gumbel_ref,
         q = q * vcol
     q = q * n_valid
 
-    hard = jnp.argmax(q + gumbel, axis=-1)                 # (M,)
+    hard = jnp.argmax(q + gumbel, axis=-1, keepdims=True)  # (M, 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m, sub_k), 1)
-    onehot = (cols == hard[:, None]).astype(jnp.float32) * vcol
+    onehot = (cols == hard).astype(jnp.float32) * vcol
     m_q = onehot * agree                                    # (M, K)
 
     # contraction + EMA + renorm
@@ -130,7 +134,10 @@ def fused_proto_tail(
         in_specs=[
             pl.BlockSpec((1, m, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # (C, 1, M) so the block's last two dims equal the array's
+            # (Mosaic's lowering constraint); kernel reads it as (1, M)
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((c, k, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, d), lambda i: (i, 0, 0),
@@ -141,10 +148,15 @@ def fused_proto_tail(
         out_specs=pl.BlockSpec((1, k, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, k, d), jnp.float32),
+        # the (M, C*K) similarity + its fusions overflow the default 16 MB
+        # scoped-VMEM budget (r4 measurement: 24.6 MB needed); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
         # protos_n rides twice: full memory (the similarity target set) and
         # the pipeline's per-class block (this program's own EMA rows)
-    )(feat_rows, valid.astype(jnp.float32), protos_n, protos_n, gumbel)
+    )(feat_rows, valid.astype(jnp.float32)[:, None, :], protos_n, protos_n,
+      gumbel)
 
 
 def update_prototypes_fused(
