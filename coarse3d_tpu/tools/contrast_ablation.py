@@ -232,8 +232,13 @@ def _write(args, runs, source_configs=None):
             "n": len(rows),
             "best_mean": float(np.mean([r["best"] for r in rows])),
             "best_std": float(np.std([r["best"] for r in rows])),
+            # the hard task's optimization cliff makes per-seed outcomes
+            # bimodal (escape to ~0.65 vs stall ~0.15, PERF.md); medians
+            # resist the outlier seeds that dominate mean+-std
+            "best_median": float(np.median([r["best"] for r in rows])),
             "last5_mean": float(np.mean([r["last5"] for r in rows])),
             "last5_std": float(np.std([r["last5"] for r in rows])),
+            "last5_median": float(np.median([r["last5"] for r in rows])),
         }
     # Paired per-seed deltas vs the warmup-only baseline: arms at one seed
     # share the scene layout, weak subset, AND model init (both keyed on the
@@ -262,8 +267,14 @@ def _write(args, runs, source_configs=None):
                 "best_delta": [round(d, 4) for d in d_best],
                 "best_delta_mean": float(np.mean(d_best)),
                 "best_delta_std": float(np.std(d_best)),
+                "best_delta_median": float(np.median(d_best)),
+                # sign-test counts (|delta| <= 1 pt is a tie): nonparametric
+                # evidence direction when the cliff makes deltas heavy-tailed
+                "best_wins": int(sum(d > 0.01 for d in d_best)),
+                "best_losses": int(sum(d < -0.01 for d in d_best)),
                 "last5_delta_mean": float(np.mean(d_last5)),
                 "last5_delta_std": float(np.std(d_last5)),
+                "last5_delta_median": float(np.median(d_last5)),
             }
     report = {"config": {k: v for k, v in vars(args).items()},
               "runs": runs, "summary": summary, "paired": paired}

@@ -604,6 +604,11 @@ def test_contrast_ablation_merge_exempt(tmp_path):
     assert {r["arm"] for r in rep["runs"]} == {"nocontrast", "full"}
     assert rep["config"]["merge_exempt"] == ["set"]
     assert rep["paired"]["full-nocontrast"]["n"] == 1
+    # robust stats for the bimodal cliff: medians + sign-test counts
+    assert rep["summary"]["full"]["best_median"] == 0.3
+    pair = rep["paired"]["full-nocontrast"]
+    assert pair["best_delta_median"] == pytest.approx(0.1)
+    assert (pair["best_wins"], pair["best_losses"]) == (1, 0)
 
 
 def test_train_crf_kernel_seam(tmp_path):
