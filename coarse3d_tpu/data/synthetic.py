@@ -131,6 +131,7 @@ def synthetic_hard_scan(
     modes_per_class: int = 2,
     noise: float = 0.15,
     weak_label_noise: float = 0.0,
+    imbalance: float = 0.0,
 ) -> dict[str, np.ndarray]:
     """A scan whose classes are *geometrically indistinguishable*.
 
@@ -147,6 +148,16 @@ def synthetic_hard_scan(
     modes go unlabeled — the regime the prototype-contrast machinery
     (sub-prototypes per class, pseudo-label expansion; reference
     contrast_pixel_loss.py:8-195, trainer.py:654-690) exists to handle.
+
+    `imbalance > 1` skews the class point-share geometrically so class k
+    owns ~imbalance^(-(k-1)/(C-2)) of the yaw budget (class 1 most common,
+    class C-1 rarest at 1/imbalance of class 1's share). The uniform weak
+    sampling then starves rare classes of CE signal exactly as real-world
+    class imbalance does (SemanticKITTI's rare classes are the rows where
+    COARSE3D's own table claims its largest wins, README.md:174-179 of the
+    reference) — the transfer channel the balanced task lacks by
+    construction. Every class keeps >= 1 sector per scan so per-class IoU
+    stays measurable. 0 (default) keeps the balanced 1D-Voronoi layout.
     """
     yaw_lo, yaw_hi = np.radians(sensor.fov_left), np.radians(sensor.fov_right)
     pit_lo, pit_hi = np.radians(sensor.fov_down), np.radians(sensor.fov_up)
@@ -158,14 +169,43 @@ def synthetic_hard_scan(
     y = depth * np.cos(pitch) * np.sin(-yaw)
     z = depth * np.sin(pitch)
 
-    # random full-height yaw sectors (1D Voronoi, wrapping at the 360 seam)
-    su = rng.uniform(0.0, 1.0, n_segments)
     u = (yaw - yaw_lo) / (yaw_hi - yaw_lo)
-    du = np.abs(u[:, None] - su[None, :])
-    du = np.minimum(du, 1.0 - du)
-    seg = np.argmin(du, axis=1)
+    if imbalance and imbalance > 1.0:
+        m = n_classes - 1
+        if n_segments < m:
+            raise ValueError(
+                f"imbalanced hard task needs n_segments >= n_classes-1 "
+                f"({n_segments} < {m}) so every class keeps a sector")
+        # geometric class shares, sectors-per-class >= 1 by construction
+        w = imbalance ** (-np.arange(m) / max(m - 1, 1))
+        share = w / w.sum()
+        n_k = np.maximum(1, np.round(share * n_segments).astype(np.int64))
+        while n_k.sum() > n_segments:
+            n_k[int(np.argmax(n_k))] -= 1
+        while n_k.sum() < n_segments:
+            n_k[int(np.argmin(n_k))] += 1
+        seg_class = np.repeat(
+            np.arange(1, m + 1, dtype=np.int32), n_k)
+        # sector widths: class share split over its sectors, jittered so
+        # boundaries are not a fixed grid, then shuffled + rotated so class
+        # order around the circle is random per scan
+        widths = (share / n_k)[seg_class - 1]
+        widths = widths * rng.lognormal(0.0, 0.25, n_segments)
+        order = rng.permutation(n_segments)
+        seg_class = seg_class[order]
+        widths = widths[order]
+        bounds = np.cumsum(widths / widths.sum())
+        v = (u + rng.uniform(0.0, 1.0)) % 1.0
+        seg = np.minimum(np.searchsorted(bounds, v, side="right"),
+                         n_segments - 1)
+    else:
+        # random full-height yaw sectors (1D Voronoi, wrap at the 360 seam)
+        su = rng.uniform(0.0, 1.0, n_segments)
+        du = np.abs(u[:, None] - su[None, :])
+        du = np.minimum(du, 1.0 - du)
+        seg = np.argmin(du, axis=1)
+        seg_class = rng.integers(1, n_classes, n_segments).astype(np.int32)
 
-    seg_class = rng.integers(1, n_classes, n_segments).astype(np.int32)
     seg_mode = rng.integers(0, modes_per_class, n_segments)
     seg_phase = rng.uniform(0.0, 2 * np.pi, n_segments)
 
@@ -202,13 +242,14 @@ class SyntheticHardDataset(SyntheticDataset):
                  weak_ratio: float = 0.0001, seed: int = 0,
                  n_segments: int = 6, modes_per_class: int = 2,
                  noise: float = 0.15, weak_label_noise: float = 0.0,
-                 cache: bool = True):
+                 imbalance: float = 0.0, cache: bool = True):
         super().__init__(n_scans, n_points, n_classes, sensor,
                          weak_ratio=weak_ratio, seed=seed, cache=cache)
         self.n_segments = n_segments
         self.modes_per_class = modes_per_class
         self.noise = noise
         self.weak_label_noise = weak_label_noise
+        self.imbalance = imbalance
 
     def _generate(self, index: int) -> dict[str, np.ndarray]:
         rng = np.random.default_rng((self.seed, index))
@@ -216,7 +257,8 @@ class SyntheticHardDataset(SyntheticDataset):
             rng, self.n_points, self.n_classes, self.sensor,
             weak_ratio=self.weak_ratio, n_segments=self.n_segments,
             modes_per_class=self.modes_per_class, noise=self.noise,
-            weak_label_noise=self.weak_label_noise)
+            weak_label_noise=self.weak_label_noise,
+            imbalance=self.imbalance)
 
 
 def synthetic_batch(

@@ -81,7 +81,8 @@ def run_one(arm: str, seed: int, args) -> dict:
 
     ds_kw = dict(weak_ratio=args.weak, n_segments=args.segments,
                  modes_per_class=args.modes, noise=args.noise,
-                 weak_label_noise=args.label_noise)
+                 weak_label_noise=args.label_noise,
+                 imbalance=args.imbalance)
     # the task (scene layout + weak subset) is seed-matched across arms:
     # data seed = run seed, so arm comparisons at one seed share the data
     train_ds = SyntheticHardDataset(args.scans, args.points, n, cfg.sensor,
@@ -113,10 +114,12 @@ def run_one(arm: str, seed: int, args) -> dict:
     trainer = Trainer(cfg, train_pipe, val_pipe, recorder=recorder,
                       mesh=mesh)
     series = []
+    class_series = []
     for epoch in range(cfg.train.n_epochs):
         trainer.run_epoch(epoch, "Train")
         res = trainer.run_epoch(epoch, "Validation")
         series.append(round(float(res["3DIOU"]), 4))
+        class_series.append(res["class_IOU"])
         print(f"[{arm} s{seed}] epoch {epoch + 1}/{cfg.train.n_epochs} "
               f"val mIoU {series[-1]:.4f}", flush=True)
     # final checkpoint: lets evaluate --run_dir re-score the trained model
@@ -133,8 +136,13 @@ def run_one(arm: str, seed: int, args) -> dict:
             d._cache.clear()
     gc.collect()
     jax.clear_caches()
+    # rare-class evidence for the imbalanced task: per-class IoU means over
+    # the last 5 epochs (the steady-state the paired deltas compare)
+    last5_class = [round(float(v), 4)
+                   for v in np.mean(np.asarray(class_series[-5:]), axis=0)]
     return {"arm": arm, "seed": seed, "series": series,
-            "best": max(series), "last5": float(np.mean(series[-5:]))}
+            "best": max(series), "last5": float(np.mean(series[-5:])),
+            "last5_class_iou": last5_class}
 
 
 def main(argv=None):
@@ -166,6 +174,12 @@ def main(argv=None):
     p.add_argument("--modes", type=int, default=2)
     p.add_argument("--noise", type=float, default=0.15)
     p.add_argument("--label_noise", type=float, default=0.0)
+    p.add_argument("--imbalance", type=float, default=0.0,
+                   help="geometric class point-share skew (max/min ratio); "
+                        "uniform weak sampling then starves rare classes of "
+                        "CE signal — the real-data transfer channel the "
+                        "balanced task lacks (data/synthetic.py). 0 = "
+                        "balanced 1D-Voronoi sectors (the r3/r4 grids).")
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--work", default="/tmp/contrast_ablation")
     p.add_argument("--out", default="/tmp/contrast_ablation/report.json")
@@ -261,6 +275,20 @@ def _write(args, runs, source_configs=None):
                 continue
             d_best = [r["best"] - b["best"] for r, b in pairs]
             d_last5 = [r["last5"] - b["last5"] for r, b in pairs]
+            # per-class paired deltas (rare-class resolution on the
+            # imbalanced task); older reports lack last5_class_iou
+            d_class = None
+            if all("last5_class_iou" in r and "last5_class_iou" in b
+                   and len(r["last5_class_iou"]) == len(b["last5_class_iou"])
+                   for r, b in pairs):
+                dc = np.asarray([
+                    np.subtract(r["last5_class_iou"], b["last5_class_iou"])
+                    for r, b in pairs])
+                d_class = {
+                    "mean": [round(float(v), 4) for v in dc.mean(axis=0)],
+                    "median": [round(float(v), 4)
+                               for v in np.median(dc, axis=0)],
+                }
             paired[f"{arm}-{base_arm}"] = {
                 "n": len(pairs),
                 "seeds": [r["seed"] for r, _ in pairs],
@@ -276,6 +304,8 @@ def _write(args, runs, source_configs=None):
                 "last5_delta_std": float(np.std(d_last5)),
                 "last5_delta_median": float(np.median(d_last5)),
             }
+            if d_class is not None:
+                paired[f"{arm}-{base_arm}"]["last5_class_delta"] = d_class
     report = {"config": {k: v for k, v in vars(args).items()},
               "runs": runs, "summary": summary, "paired": paired}
     if source_configs:

@@ -64,6 +64,9 @@ def main(argv=None):
     p.add_argument("--synthetic_noise", type=float, default=None,
                    help="hard task: per-point intensity noise sigma "
                         "(match the training task's --synthetic_noise)")
+    p.add_argument("--synthetic_imbalance", type=float, default=None,
+                   help="hard task: geometric class point-share skew "
+                        "(match the training task's --synthetic_imbalance)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
                    help="config override, e.g. --set knn.search=7 "
@@ -117,6 +120,8 @@ def main(argv=None):
                 ds_kw["modes_per_class"] = args.synthetic_modes
             if args.synthetic_noise is not None:
                 ds_kw["noise"] = args.synthetic_noise
+            if args.synthetic_imbalance is not None:
+                ds_kw["imbalance"] = args.synthetic_imbalance
         # cache=False: evaluate is a single pass, every scan read once
         ds = ds_cls(args.synthetic, n_pts, cfg.data.n_classes, cfg.sensor,
                     seed=args.synthetic_seed, cache=False, **ds_kw)

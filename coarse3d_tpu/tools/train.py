@@ -52,6 +52,9 @@ def main(argv=None):
                         "(default 0.15)")
     p.add_argument("--synthetic_label_noise", type=float, default=None,
                    help="hard task: weak-label flip fraction (default 0)")
+    p.add_argument("--synthetic_imbalance", type=float, default=None,
+                   help="hard task: geometric class point-share skew "
+                        "(max/min ratio; default 0 = balanced sectors)")
     p.add_argument("--pretrained", help="converted .msgpack weights to warm-"
                    "start from (reference pretrained_model)")
     p.add_argument("--only_encoder", action="store_true",
@@ -126,7 +129,8 @@ def main(argv=None):
                               (args.synthetic_modes, "modes_per_class"),
                               (args.synthetic_noise, "noise"),
                               (args.synthetic_label_noise,
-                               "weak_label_noise")):
+                               "weak_label_noise"),
+                              (args.synthetic_imbalance, "imbalance")):
                 if flag is not None:
                     ds_kw[key] = flag
         train_ds = ds_cls(

@@ -39,6 +39,7 @@ def main(argv=None):
     p.add_argument("--synthetic_segments", type=int, default=None)
     p.add_argument("--synthetic_modes", type=int, default=None)
     p.add_argument("--synthetic_noise", type=float, default=None)
+    p.add_argument("--synthetic_imbalance", type=float, default=None)
     p.add_argument("--weak", type=float, default=0.0001,
                    help="synthetic weak-label ratio (match the training run)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
@@ -76,6 +77,8 @@ def main(argv=None):
                 ds_kw["modes_per_class"] = args.synthetic_modes
             if args.synthetic_noise is not None:
                 ds_kw["noise"] = args.synthetic_noise
+            if args.synthetic_imbalance is not None:
+                ds_kw["imbalance"] = args.synthetic_imbalance
         else:
             ds_cls = SyntheticDataset
         n_pts = args.synthetic_points or min(20000, cfg.data.max_points // 2)

@@ -210,6 +210,10 @@ class Trainer:
             "3DIOU": float(mean_iou),
             "3DAcc": float(mean_acc),
             "3DRecall": float(mean_recall),
+            # per-class IoU (incl. the ignore row) for consumers that track
+            # rare-class behavior directly, e.g. the imbalanced-task
+            # ablation (tools/contrast_ablation.py)
+            "class_IOU": [round(float(v), 4) for v in np.asarray(class_iou)],
         }
 
         self.recorder.scalar(f"{mode}_mean_IOU_3D", results["3DIOU"], epoch)

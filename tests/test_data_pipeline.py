@@ -374,3 +374,57 @@ def test_synthetic_hard_task(rng):
     assert annotated.sum() == 200
     mismatch = (noisy["labels"][annotated] != wn[annotated]).mean()
     assert 0.2 < mismatch < 0.6  # ~0.5 * 6/7
+
+
+def test_synthetic_hard_imbalance(rng):
+    """`imbalance=R` skews class point shares geometrically (class 1 most
+    common, class C-1 rarest at ~1/R of class 1) while keeping every class
+    present in every scan; uniform weak sampling then starves rare classes
+    — the real-data transfer channel the balanced task lacks."""
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.data.synthetic import (SyntheticHardDataset,
+                                             synthetic_hard_scan)
+
+    sensor = preset("kitti").sensor
+    R, C, n = 16.0, 8, 200000
+    # average shares over several scans (per-scan widths are jittered)
+    counts = np.zeros(C)
+    for i in range(6):
+        s = synthetic_hard_scan(np.random.default_rng(i), n, C, sensor,
+                                n_segments=16, modes_per_class=1,
+                                imbalance=R)
+        counts += np.bincount(s["labels"], minlength=C)
+        # every class present in every single scan (>= 1 sector each)
+        assert (np.bincount(s["labels"], minlength=C)[1:] > 0).all()
+    share = counts[1:] / counts[1:].sum()
+    expect = R ** (-np.arange(C - 1) / (C - 2))
+    expect = expect / expect.sum()
+    # shares follow the geometric law within jitter tolerance
+    assert np.abs(share - expect).max() < 0.05
+    assert share[0] / share[-1] > R / 3  # the skew is real, ~R
+    # monotone-ish: common classes stay common
+    assert share[0] > share[3] > share[-1]
+
+    # weak budget inherits the skew: rare classes get proportionally few
+    s = synthetic_hard_scan(np.random.default_rng(7), n, C, sensor,
+                            n_segments=16, modes_per_class=1,
+                            weak_ratio=0.002, imbalance=R)
+    wc = np.bincount(s["weak_labels"], minlength=C)[1:]
+    assert wc[0] > 4 * max(wc[-1], 1)
+
+    # imbalance=0 (default) keeps the balanced layout: no class dominates
+    s0 = synthetic_hard_scan(np.random.default_rng(3), n, C, sensor,
+                             n_segments=16, modes_per_class=1)
+    sh0 = np.bincount(s0["labels"], minlength=C)[1:] / n
+    assert sh0.max() < 0.45
+
+    # catalog threads the knob
+    ds = SyntheticHardDataset(2, 5000, C, sensor, seed=3, n_segments=16,
+                              imbalance=R)
+    assert ds.load(0)["labels"].max() <= C - 1
+
+    # too few sectors to cover every class fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="n_segments"):
+        synthetic_hard_scan(np.random.default_rng(0), 1000, C, sensor,
+                            n_segments=4, imbalance=R)

@@ -208,6 +208,7 @@ def test_contrast_ablation_tool_smoke(tmp_path):
         "--arms", "full", "nocontrast", "--seeds", "7", "--epochs", "2",
         "--scans", "8", "--points", "2000", "--classes", "5",
         "--weak", "0.01", "--segments", "4", "--modes", "1",
+        "--imbalance", "8",
         "--work", str(tmp_path), "--out", str(tmp_path / "rep.json"),
         # per-chip batch 1: the tool uses train.py's batch semantics
         # (batch x local devices), and this env has 8 virtual devices
@@ -226,6 +227,11 @@ def test_contrast_ablation_tool_smoke(tmp_path):
     assert len(rep["runs"]) == 2
     assert all(len(r["series"]) == 2 for r in rep["runs"])
     assert all(0.0 <= v <= 1.0 for r in rep["runs"] for v in r["series"])
+    # per-class evidence (rare-class resolution on the imbalanced task)
+    assert all(len(r["last5_class_iou"]) == 5 for r in rep["runs"])
+    assert "last5_class_delta" in rep["paired"]["full-nocontrast"]
+    assert len(
+        rep["paired"]["full-nocontrast"]["last5_class_delta"]["mean"]) == 5
     import json
 
     on_disk = json.loads((tmp_path / "rep.json").read_text())
