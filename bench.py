@@ -88,7 +88,7 @@ def main_train(stem: str = "parity", batch: int = 4,
             f.write(row + "\n")
 
 
-def main() -> None:
+def main(out: str | None = None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -127,12 +127,16 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     scans_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+    row = json.dumps({
         "metric": "SemanticKITTI scans/sec/chip (proj+fwd+KNN)",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
-    }))
+    })
+    print(row)
+    if out:
+        with open(out, "a") as f:
+            f.write(row + "\n")
 
 
 if __name__ == "__main__":
@@ -152,4 +156,4 @@ if __name__ == "__main__":
     if args.train:
         main_train(stem=args.stem, batch=args.batch, out=args.out)
     else:
-        main()
+        main(out=args.out)

@@ -261,6 +261,26 @@ class SyntheticHardDataset(SyntheticDataset):
             imbalance=self.imbalance)
 
 
+def hard_task_kwargs(args) -> dict:
+    """SyntheticHardDataset kwargs from a CLI namespace.
+
+    The train / evaluate / train_crf tools share the --synthetic_* flag
+    names; this is the single place mapping them to dataset kwargs (None =
+    flag not passed, keep the dataset default), so a new hard-task knob is
+    threaded once instead of per-tool.
+    """
+    out = {}
+    for attr, key in (("synthetic_segments", "n_segments"),
+                      ("synthetic_modes", "modes_per_class"),
+                      ("synthetic_noise", "noise"),
+                      ("synthetic_label_noise", "weak_label_noise"),
+                      ("synthetic_imbalance", "imbalance")):
+        val = getattr(args, attr, None)
+        if val is not None:
+            out[key] = val
+    return out
+
+
 def synthetic_batch(
     rng: np.random.Generator,
     cfg,

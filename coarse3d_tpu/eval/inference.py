@@ -25,7 +25,7 @@ from coarse3d_tpu.ops.projection import (
 
 def make_inference_fn(model, variables, cfg: ExperimentConfig,
                       use_knn: bool = True,
-                      use_pallas_proj: bool | None = None):
+                      use_pallas_proj: bool = False):
     """Returns jitted (points (B, P, 4), valid (B, P)) -> labels (B, P).
 
     use_pallas_proj: replace the two XLA scatter passes of the projection
@@ -40,8 +40,6 @@ def make_inference_fn(model, variables, cfg: ExperimentConfig,
     sensor = cfg.sensor
     knn_cfg = cfg.knn
     n_classes = cfg.data.n_classes
-    if use_pallas_proj is None:
-        use_pallas_proj = False
     if use_pallas_proj:
         from coarse3d_tpu.ops.pallas.proj_scatter import (
             range_project_batch_pallas,

@@ -221,7 +221,16 @@ def main(argv=None):
             r["seed"],
             arm_order.index(r["arm"]) if r["arm"] in arm_order
             else len(arm_order), r["arm"]))
-        report = _write(args, runs, source_configs=part_cfgs)
+        # the merged report's config is the VALIDATED part config (first
+        # part's grid args) + the merge bookkeeping — recording the merge
+        # invocation's mostly-default args here would misstate the task and
+        # corrupt config-match checks on any future re-merge
+        merged_cfg = dict(part_cfgs[args.merge[0]])
+        merged_cfg["merge"] = args.merge
+        merged_cfg["merge_exempt"] = args.merge_exempt
+        merged_cfg["out"] = args.out
+        report = _write(args, runs, source_configs=part_cfgs,
+                        config=merged_cfg)
         print(json.dumps(report["summary"], indent=2))
         return report
 
@@ -235,7 +244,7 @@ def main(argv=None):
     return report
 
 
-def _write(args, runs, source_configs=None):
+def _write(args, runs, source_configs=None, config=None):
     import numpy as np
 
     summary = {}
@@ -306,7 +315,7 @@ def _write(args, runs, source_configs=None):
             }
             if d_class is not None:
                 paired[f"{arm}-{base_arm}"]["last5_class_delta"] = d_class
-    report = {"config": {k: v for k, v in vars(args).items()},
+    report = {"config": config or {k: v for k, v in vars(args).items()},
               "runs": runs, "summary": summary, "paired": paired}
     if source_configs:
         report["source_configs"] = source_configs

@@ -85,6 +85,19 @@ def main(argv=None):
                         "(robust seam for wrapping drivers)")
     args = p.parse_args(argv)
 
+    # pure-argument validation up front, before any dataset/model setup
+    # (on real data that setup costs minutes)
+    if args.weights and (args.run_dir or args.ckpt != "latest"):
+        # --weights would silently shadow the Orbax selection and the user
+        # could unknowingly score the msgpack weights instead of best_3DIOU
+        raise SystemExit(
+            "--weights is mutually exclusive with --run_dir/--ckpt: pass "
+            "exactly one checkpoint source")
+    if args.crf_kernel and not args.crf:
+        # without this the kernel is loaded but never applied, and the
+        # reported mIoU would be silently attributed to the trained CRF
+        raise SystemExit("--crf_kernel requires --crf")
+
     import jax
     import numpy as np
 
@@ -107,21 +120,15 @@ def main(argv=None):
 
     if args.synthetic:
         from coarse3d_tpu.data.synthetic import (SyntheticDataset,
-                                                 SyntheticHardDataset)
+                                                 SyntheticHardDataset,
+                                                 hard_task_kwargs)
 
         ds_cls = (SyntheticHardDataset if args.synthetic_task == "hard"
                   else SyntheticDataset)
         n_pts = args.synthetic_points or min(20000, cfg.data.max_points // 2)
         ds_kw = {}
         if args.synthetic_task == "hard":
-            if args.synthetic_segments is not None:
-                ds_kw["n_segments"] = args.synthetic_segments
-            if args.synthetic_modes is not None:
-                ds_kw["modes_per_class"] = args.synthetic_modes
-            if args.synthetic_noise is not None:
-                ds_kw["noise"] = args.synthetic_noise
-            if args.synthetic_imbalance is not None:
-                ds_kw["imbalance"] = args.synthetic_imbalance
+            ds_kw.update(hard_task_kwargs(args))
         # cache=False: evaluate is a single pass, every scan read once
         ds = ds_cls(args.synthetic, n_pts, cfg.data.n_classes, cfg.sensor,
                     seed=args.synthetic_seed, cache=False, **ds_kw)
@@ -151,12 +158,6 @@ def main(argv=None):
     state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
                         batch_size=bs)
 
-    if args.weights and (args.run_dir or args.ckpt != "latest"):
-        # --weights would silently shadow the Orbax selection and the user
-        # could unknowingly score the msgpack weights instead of best_3DIOU
-        raise SystemExit(
-            "--weights is mutually exclusive with --run_dir/--ckpt: pass "
-            "exactly one checkpoint source")
     if args.weights:
         import flax.serialization
 
@@ -168,15 +169,9 @@ def main(argv=None):
             state = state.replace(
                 prototypes=jax.numpy.asarray(conv["prototypes"]))
     elif args.run_dir:
-        from coarse3d_tpu.train.checkpoint import CheckpointManager
+        from coarse3d_tpu.train.checkpoint import restore_from_run_dir
 
-        ckpt = CheckpointManager(args.run_dir)
-        if args.ckpt == "latest":
-            state, _ = ckpt.restore(state)
-        else:
-            key = args.ckpt.removeprefix("best_")
-            state = ckpt.restore_best(state, key=key)
-        ckpt.close()
+        state = restore_from_run_dir(state, args.run_dir, args.ckpt)
 
     state = replicate_to_mesh(state, mesh)
     crf_kernel = None

@@ -26,6 +26,9 @@ def main(argv=None):
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--weights", help="converted .msgpack checkpoint")
     src.add_argument("--run_dir", help="training run dir (Orbax checkpoint)")
+    p.add_argument("--ckpt", default="latest",
+                   help="which --run_dir checkpoint to restore: 'latest' "
+                        "(rolling) or a best-metric key like 'best_3DIOU'")
     p.add_argument("--scans", nargs="+", default=[], help=".bin scan files")
     p.add_argument("--scan_dir", help="directory of .bin scans")
     p.add_argument("--out", required=True, help="output directory")
@@ -47,6 +50,10 @@ def main(argv=None):
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE")
     args = p.parse_args(argv)
+
+    if args.weights and args.ckpt != "latest":
+        # mirrors evaluate.py: --ckpt only selects within --run_dir
+        raise SystemExit("--ckpt requires --run_dir, not --weights")
 
     import jax
     import jax.numpy as jnp
@@ -80,15 +87,13 @@ def main(argv=None):
         variables = {"params": conv["params"],
                      "batch_stats": conv["batch_stats"]}
     else:
-        from coarse3d_tpu.train.checkpoint import CheckpointManager
+        from coarse3d_tpu.train.checkpoint import restore_from_run_dir
         from coarse3d_tpu.train.setup import build_state
 
         # only the restore template needs a built state
         state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
                             batch_size=1)
-        ckpt = CheckpointManager(args.run_dir)
-        state, _ = ckpt.restore(state)
-        ckpt.close()
+        state = restore_from_run_dir(state, args.run_dir, args.ckpt)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
 

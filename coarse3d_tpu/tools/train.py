@@ -118,21 +118,15 @@ def main(argv=None):
 
     if args.synthetic:
         from coarse3d_tpu.data.synthetic import (SyntheticDataset,
-                                                 SyntheticHardDataset)
+                                                 SyntheticHardDataset,
+                                                 hard_task_kwargs)
 
         ds_cls = (SyntheticHardDataset if args.synthetic_task == "hard"
                   else SyntheticDataset)
         ds_kw = ({"weak_ratio": args.synthetic_weak_ratio}
                  if args.synthetic_weak_ratio is not None else {})
         if args.synthetic_task == "hard":
-            for flag, key in ((args.synthetic_segments, "n_segments"),
-                              (args.synthetic_modes, "modes_per_class"),
-                              (args.synthetic_noise, "noise"),
-                              (args.synthetic_label_noise,
-                               "weak_label_noise"),
-                              (args.synthetic_imbalance, "imbalance")):
-                if flag is not None:
-                    ds_kw[key] = flag
+            ds_kw.update(hard_task_kwargs(args))
         train_ds = ds_cls(
             args.synthetic, args.synthetic_points, cfg.data.n_classes,
             cfg.sensor, seed=cfg.train.seed, **ds_kw)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 
 
 def main(argv=None):
@@ -56,7 +57,7 @@ def main(argv=None):
     from coarse3d_tpu.data.pipeline import DataPipeline
     from coarse3d_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
     from coarse3d_tpu.postproc.crf import crf_refine, init_compat_kernel
-    from coarse3d_tpu.train.checkpoint import CheckpointManager
+    from coarse3d_tpu.train.checkpoint import restore_from_run_dir
     from coarse3d_tpu.train.setup import build_state
     from coarse3d_tpu.train.step import _prepare_inputs
 
@@ -66,19 +67,13 @@ def main(argv=None):
 
     if args.synthetic:
         from coarse3d_tpu.data.synthetic import (SyntheticDataset,
-                                                 SyntheticHardDataset)
+                                                 SyntheticHardDataset,
+                                                 hard_task_kwargs)
 
         ds_kw = {}
         if args.synthetic_task == "hard":
             ds_cls = SyntheticHardDataset
-            if args.synthetic_segments is not None:
-                ds_kw["n_segments"] = args.synthetic_segments
-            if args.synthetic_modes is not None:
-                ds_kw["modes_per_class"] = args.synthetic_modes
-            if args.synthetic_noise is not None:
-                ds_kw["noise"] = args.synthetic_noise
-            if args.synthetic_imbalance is not None:
-                ds_kw["imbalance"] = args.synthetic_imbalance
+            ds_kw.update(hard_task_kwargs(args))
         else:
             ds_cls = SyntheticDataset
         n_pts = args.synthetic_points or min(20000, cfg.data.max_points // 2)
@@ -102,12 +97,7 @@ def main(argv=None):
 
     state = build_state(cfg, jax.random.key(0), steps_per_epoch=1,
                         batch_size=bs)
-    ckpt = CheckpointManager(args.run_dir)
-    if args.ckpt == "latest":
-        state, _ = ckpt.restore(state)
-    else:
-        state = ckpt.restore_best(state, key=args.ckpt.removeprefix("best_"))
-    ckpt.close()
+    state = restore_from_run_dir(state, args.run_dir, args.ckpt)
     state = replicate_to_mesh(state, mesh)
 
     kernel = init_compat_kernel(cfg.data.n_classes, xyz_coef=0.1)
@@ -148,6 +138,9 @@ def main(argv=None):
         print(f"epoch {epoch + 1}/{args.epochs} weak-CE {mean:.5f}",
               flush=True)
 
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     np.savez(args.out, kernel=np.asarray(kernel),
              history=np.asarray(history, np.float32))
     print(json.dumps({"out": args.out, "history": history}))

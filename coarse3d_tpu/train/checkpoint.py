@@ -118,6 +118,24 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def restore_from_run_dir(state: TrainState, run_dir: str,
+                         ckpt: str = "latest") -> TrainState:
+    """Restore a tools-CLI checkpoint selection into `state`.
+
+    `ckpt` is the CLI spelling: 'latest' (rolling) or a best-metric key
+    like 'best_3DIOU' / '3DIOU'. Shared by evaluate / train_crf (both take
+    --run_dir/--ckpt and must resolve them identically)."""
+    mgr = CheckpointManager(run_dir)
+    try:
+        if ckpt == "latest":
+            state, _ = mgr.restore(state)
+        else:
+            state = mgr.restore_best(state, key=ckpt.removeprefix("best_"))
+    finally:
+        mgr.close()
+    return state
+
+
 def load_pretrained_params(
     state: TrainState, params_like, only_prefixes: tuple[str, ...] = ()
 ) -> tuple[TrainState, int]:
