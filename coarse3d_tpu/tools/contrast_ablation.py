@@ -244,6 +244,28 @@ def main(argv=None):
     return report
 
 
+def _sign_flip_perm_p(deltas, max_exact=20):
+    """Exact two-sided sign-flip permutation p-value of the mean delta.
+
+    Enumerates all 2^n sign assignments (n <= max_exact; the grids run <= 8
+    seeds) and returns the fraction whose |mean| >= the observed |mean|.
+    n=1 degenerates to p=1.0, as it should.
+    """
+    import itertools
+
+    import numpy as np
+
+    d = np.asarray(deltas, dtype=np.float64)
+    n = len(d)
+    if n == 0 or n > max_exact:
+        return None
+    obs = abs(d.mean())
+    signs = np.array(list(itertools.product((1.0, -1.0), repeat=n)))
+    perm = np.abs(signs @ d) / n
+    # 1e-12 tolerance: the observed assignment itself must always count
+    return float(np.mean(perm >= obs - 1e-12))
+
+
 def _write(args, runs, source_configs=None, config=None):
     import numpy as np
 
@@ -309,9 +331,16 @@ def _write(args, runs, source_configs=None, config=None):
                 # evidence direction when the cliff makes deltas heavy-tailed
                 "best_wins": int(sum(d > 0.01 for d in d_best)),
                 "best_losses": int(sum(d < -0.01 for d in d_best)),
+                # exact two-sided sign-flip permutation p of the mean paired
+                # delta: under H0 (arm == baseline) each seed's delta is
+                # sign-symmetric, so all 2^n sign assignments are equally
+                # likely — the correct small-n test when the cliff makes
+                # deltas heavy-tailed and t-test normality fails
+                "best_perm_p": _sign_flip_perm_p(d_best),
                 "last5_delta_mean": float(np.mean(d_last5)),
                 "last5_delta_std": float(np.std(d_last5)),
                 "last5_delta_median": float(np.median(d_last5)),
+                "last5_perm_p": _sign_flip_perm_p(d_last5),
             }
             if d_class is not None:
                 paired[f"{arm}-{base_arm}"]["last5_class_delta"] = d_class

@@ -189,6 +189,10 @@ def test_contrast_ablation_merge(tmp_path):
     np.testing.assert_allclose(pd["best_delta"], [0.2, 0.2])
     np.testing.assert_allclose(pd["best_delta_mean"], 0.2)
     np.testing.assert_allclose(pd["best_delta_std"], 0.0, atol=1e-12)
+    # exact sign-flip permutation p: deltas [0.2, 0.2] -> sign assignments
+    # (++, +-, -+, --) give |mean| (0.2, 0, 0, 0.2); 2 of 4 >= observed
+    np.testing.assert_allclose(pd["best_perm_p"], 0.5)
+    np.testing.assert_allclose(pd["last5_perm_p"], 0.5)
 
     # duplicate (arm, seed) pairs across reports are a hard error
     import pytest as _pytest
