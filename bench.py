@@ -88,7 +88,7 @@ def main_train(stem: str = "parity", batch: int = 4,
             f.write(row + "\n")
 
 
-def main(out: str | None = None) -> None:
+def main(out: str | None = None, distribution: str = "uniform") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -101,12 +101,23 @@ def main(out: str | None = None) -> None:
     model = build_model(cfg)
 
     rng = np.random.default_rng(0)
-    pts, msk = [], []
+    pts, msk, loser_rates = [], [], []
     for _ in range(BATCH):
-        scan = synthetic_scan(rng, N_POINTS, cfg.data.n_classes, cfg.sensor)
+        scan = synthetic_scan(rng, N_POINTS, cfg.data.n_classes, cfg.sensor,
+                              angular=distribution)
         p, v = pad_points(scan["points"], cfg.data.max_points, fill=0.0)
         pts.append(p)
         msk.append(v)
+        if distribution != "uniform":
+            # occupancy structure of this distribution: fraction of points
+            # whose pixel is won by a nearer point (the quantity the
+            # point-rate ops could be sensitive to — PERF.md bench caveat)
+            from coarse3d_tpu.ops.projection import range_project_np
+
+            proj = range_project_np(scan["points"], cfg.sensor)
+            winner = proj["proj_idx"][proj["py"], proj["px"]]
+            loser_rates.append(
+                float(np.mean(winner != np.arange(N_POINTS))))
     points = jnp.asarray(np.stack(pts))
     valid = jnp.asarray(np.stack(msk))
 
@@ -122,17 +133,21 @@ def main(out: str | None = None) -> None:
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = infer(points, valid)
-    out.block_until_ready()
+        pred = infer(points, valid)
+    pred.block_until_ready()
     dt = time.perf_counter() - t0
 
     scans_per_sec = BATCH * ITERS / dt
-    row = json.dumps({
+    fields = {
         "metric": "SemanticKITTI scans/sec/chip (proj+fwd+KNN)",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
-    })
+    }
+    if distribution != "uniform":
+        fields["metric"] += f" ({distribution} occupancy)"
+        fields["pixel_loser_rate"] = round(float(np.mean(loser_rates)), 4)
+    row = json.dumps(fields)
     print(row)
     if out:
         with open(out, "a") as f:
@@ -152,8 +167,14 @@ if __name__ == "__main__":
                    help="append the JSON result row to this file "
                         "(externally-captured artifact, e.g. "
                         "BENCH_TRAIN_r04.json)")
+    p.add_argument("--distribution", default="uniform",
+                   choices=("uniform", "grid", "clustered"),
+                   help="pixel-occupancy structure of the synthetic scans "
+                        "(sensitivity check for the headline's uniform-"
+                        "angle assumption; grid ~= real scanner beams, "
+                        "clustered = worst-case scatter conflicts)")
     args = p.parse_args()
     if args.train:
         main_train(stem=args.stem, batch=args.batch, out=args.out)
     else:
-        main(out=args.out)
+        main(out=args.out, distribution=args.distribution)

@@ -20,12 +20,58 @@ def synthetic_scan(
     n_classes: int,
     sensor: SensorSpec,
     weak_ratio: float = 0.001,
+    angular: str = "uniform",
 ) -> dict[str, np.ndarray]:
-    """One scan: (N, 4) points + full labels + weak labels."""
-    yaw = rng.uniform(
-        np.radians(sensor.fov_left), np.radians(sensor.fov_right), n_points)
-    pitch = rng.uniform(
-        np.radians(sensor.fov_down), np.radians(sensor.fov_up), n_points)
+    """One scan: (N, 4) points + full labels + weak labels.
+
+    `angular` controls the pixel-occupancy structure — the one property of
+    the synthetic distribution the point-rate ops (projection scatter, KNN
+    gather) could be sensitive to (PERF.md bench caveat):
+
+      uniform    — i.i.d. angles (the default; ~35% of points lose their
+                   pixel to a nearer point at KITTI scale)
+      grid       — beam-structured like a real rotating scanner: points on
+                   H regular elevation rows, near-regular azimuth spacing
+                   with sub-pixel jitter (few-% pixel losers)
+      clustered  — 60% of points in ~2-px angular blobs (object-like
+                   foreground over a uniform background; worst-case scatter
+                   conflicts, well above real-scan loser rates)
+    """
+    yaw_lo = np.radians(sensor.fov_left)
+    yaw_hi = np.radians(sensor.fov_right)
+    pit_lo = np.radians(sensor.fov_down)
+    pit_hi = np.radians(sensor.fov_up)
+    if angular == "uniform":
+        yaw = rng.uniform(yaw_lo, yaw_hi, n_points)
+        pitch = rng.uniform(pit_lo, pit_hi, n_points)
+    elif angular == "grid":
+        h = sensor.proj_h
+        row = np.arange(n_points) % h
+        per_row = -(-n_points // h)  # ceil: azimuth steps per beam
+        rank = np.arange(n_points) // h
+        u = (rank + rng.uniform(0.2, 0.8, n_points)) / per_row
+        v = (row + rng.uniform(0.2, 0.8, n_points)) / h
+        yaw = yaw_lo + u * (yaw_hi - yaw_lo)
+        pitch = pit_lo + v * (pit_hi - pit_lo)
+    elif angular == "clustered":
+        k = max(8, n_points // 3000)
+        n_bg = int(n_points * 0.4)
+        n_cl = n_points - n_bg
+        cu, cv = rng.uniform(0, 1, k), rng.uniform(0, 1, k)
+        blob = rng.integers(0, k, n_cl)
+        u = np.concatenate([
+            rng.uniform(0, 1, n_bg),
+            (cu[blob] + rng.normal(0, 2.0 / sensor.proj_w, n_cl)) % 1.0])
+        v = np.concatenate([
+            rng.uniform(0, 1, n_bg),
+            np.clip(cv[blob] + rng.normal(0, 2.0 / sensor.proj_h, n_cl),
+                    0.0, 1.0 - 1e-6)])
+        perm = rng.permutation(n_points)
+        u, v = u[perm], v[perm]
+        yaw = yaw_lo + u * (yaw_hi - yaw_lo)
+        pitch = pit_lo + v * (pit_hi - pit_lo)
+    else:
+        raise ValueError(f"unknown angular distribution: {angular!r}")
     depth = rng.gamma(shape=2.0, scale=8.0, size=n_points).clip(1.5, 80.0)
 
     x = depth * np.cos(pitch) * np.cos(-yaw)

@@ -55,6 +55,34 @@ def test_augment_deterministic_with_seed(rng):
     assert not np.array_equal(a, c)
 
 
+def test_synthetic_scan_occupancy_distributions(rng):
+    """The bench sensitivity knob: `angular` controls how many points lose
+    their pixel to a nearer point (grid ~ real scanner beams << uniform <<
+    clustered), while shapes/labels stay valid for every distribution."""
+    from coarse3d_tpu.ops.projection import range_project_np
+
+    n = 600  # ~0.6 points/pixel on the 16x64 grid
+    rates = {}
+    for angular in ("grid", "uniform", "clustered"):
+        scan = synthetic_scan(np.random.default_rng(3), n, 6, SMALL,
+                              weak_ratio=0.01, angular=angular)
+        assert scan["points"].shape == (n, 4)
+        assert scan["labels"].min() >= 1 and scan["labels"].max() <= 5
+        assert (scan["weak_labels"] > 0).sum() == 6
+        proj = range_project_np(scan["points"], SMALL)
+        winner = proj["proj_idx"][proj["py"], proj["px"]]
+        rates[angular] = float(np.mean(winner != np.arange(n)))
+    assert rates["grid"] < 0.10
+    assert rates["grid"] < rates["uniform"] < rates["clustered"]
+    # default is unchanged: angular="uniform" consumes the same rng stream
+    a = synthetic_scan(np.random.default_rng(5), 200, 4, SMALL)
+    b = synthetic_scan(np.random.default_rng(5), 200, 4, SMALL,
+                       angular="uniform")
+    np.testing.assert_array_equal(a["points"], b["points"])
+    with pytest.raises(ValueError, match="angular"):
+        synthetic_scan(rng, 100, 4, SMALL, angular="bogus")
+
+
 # ---------------------------------------------------------------------------
 # sample building
 # ---------------------------------------------------------------------------
