@@ -94,6 +94,16 @@ class ContrastConfig:
     # scale m so 1/(1-m) stays a sub-epoch fraction of training
     # (PERF.md "r3 ablation grid, phase 1").
     proto_momentum: float = 0.999
+    # Stagger knob (beyond the reference, which activates selection and the
+    # prototype EMA together at contrast_warmup): epoch at which entropy
+    # selection starts contributing pseudo anchors; None = contrast_warmup.
+    # Until then the select ratio is held at 0, which degenerates
+    # entropy_based_selection to exactly the weak-only anchor path (k=0 for
+    # every segment), so the EMA memory forms on clean weak anchors before
+    # noisy pseudo labels join — the composition the r4 balanced ablation
+    # grid suggested (each mechanism helps alone, together they cancel;
+    # PERF.md "r4 phase-2 secondary arms").
+    selection_warmup: int | None = None
     proj_dim: int = 256
     # Fixed per-class pixel budget for the masked Sinkhorn / EMA prototype
     # update (the reference gathers dynamic `label == c` subsets,

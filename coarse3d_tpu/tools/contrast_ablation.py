@@ -55,6 +55,13 @@ ARMS = {
     # config's accuracy question (PERF.md "space-to-depth stem") is settled
     # by the same grid instead of a separate synthetic-easy protocol
     "s2d": ["model.stem=s2d"],
+    # staggered composition (tests the r4 balanced-grid interaction
+    # hypothesis): prototype EMA forms on clean weak-only anchors for 20
+    # epochs after contrast_warmup, THEN entropy selection joins — if the
+    # full-stack null comes from prototypes absorbing selection noise while
+    # the memory forms, this arm should recover both single-ablation gains.
+    # The epoch value assumes the 45-epoch grid protocol (contrast from 5).
+    "staggered": ["contrast.selection_warmup=25"],
 }
 
 

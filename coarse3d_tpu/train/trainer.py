@@ -107,6 +107,12 @@ class Trainer:
             and self.cfg.contrast.loss_w_contrast > 0)
         step_fn = self._step_contrast if with_contrast else self._step_warmup
         ratio = self._ratio(epoch) if with_contrast else 0.0
+        sel_start = self.cfg.contrast.selection_warmup
+        if sel_start is not None and epoch < sel_start:
+            # staggered selection: ratio 0 == weak-only anchors (exactly —
+            # entropy_based_selection keeps floor(0 * count) = 0 pseudo
+            # pixels per segment and weak ground truth always wins)
+            ratio = 0.0
 
         self.evaluator.reset()
         meters = {k: AverageMeter() for k in

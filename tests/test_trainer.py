@@ -154,6 +154,30 @@ def test_load_pretrained_filtered(tmp_path):
     assert 0 < copied_enc < copied
 
 
+def test_selection_warmup_staggers_ratio(tmp_path):
+    """contrast.selection_warmup holds the select ratio at 0 until its epoch
+    (ratio 0 == weak-only anchors, test_selection_ratio_zero_keeps_only_gt),
+    so the staggered arm trains the prototype EMA on clean anchors first."""
+    trainer, cfg = _mini_trainer(tmp_path, n_epochs=4, contrast_warmup=1)
+    trainer.cfg = dataclasses.replace(
+        cfg, contrast=dataclasses.replace(cfg.contrast, selection_warmup=3))
+    seen = {}
+    real_step = trainer._step_contrast
+
+    def spy(state, batch, ratio):
+        seen[trainer._epoch_under_test] = float(ratio)
+        return real_step(state, batch, ratio)
+
+    trainer._step_contrast = spy
+    for epoch in range(4):
+        trainer._epoch_under_test = epoch
+        trainer.run_epoch(epoch, "Train")
+    assert seen[1] == 0.0 and seen[2] == 0.0  # staggered: selection off
+    assert seen[3] > 0.0  # selection_warmup reached: schedule takes over
+    trainer.ckpt.close()
+    trainer.recorder.close()
+
+
 def test_contrast_ablation_merge(tmp_path):
     """--merge combines per-seed reports (the per-seed-subprocess workflow
     that bounds the axon transfer leak) and recomputes the summary."""
