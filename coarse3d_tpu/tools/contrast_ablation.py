@@ -297,13 +297,15 @@ def _write(args, runs, source_configs=None, config=None):
     # run seed), so the seed-matched delta cancels the breakthrough-timing
     # variance that dominates the raw per-arm std (PERF.md r3 phase 1).
     paired = {}
-    # every arm pairs against the warmup-only baseline; the s2d stem also
-    # pairs against `full` (same mechanism, different backbone stem — the
-    # promotion question is "does s2d cost accuracy vs parity", PERF.md)
-    baselines = ["nocontrast"] + (["full"] if "s2d" in arms_present else [])
+    # every arm pairs against the warmup-only baseline; s2d and staggered
+    # also pair against `full` — their promotion questions are relative to
+    # the shipped composition ("does s2d cost accuracy vs parity stem";
+    # "does staggering the selection beat activating both at once")
+    vs_full = [a for a in ("s2d", "staggered") if a in arms_present]
+    baselines = ["nocontrast"] + (["full"] if vs_full else [])
     for base_arm in baselines:
         base = {r["seed"]: r for r in runs if r["arm"] == base_arm}
-        arms_vs = (arms_present if base_arm == "nocontrast" else ["s2d"])
+        arms_vs = (arms_present if base_arm == "nocontrast" else vs_full)
         for arm in arms_vs:
             if arm == base_arm:
                 continue

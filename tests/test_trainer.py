@@ -190,7 +190,9 @@ def test_contrast_ablation_merge(tmp_path):
             {"arm": "full", "seed": seed, "series": [best_full],
              "best": best_full, "last5": best_full},
             {"arm": "nocontrast", "seed": seed, "series": [best_noc],
-             "best": best_noc, "last5": best_noc}],
+             "best": best_noc, "last5": best_noc},
+            {"arm": "staggered", "seed": seed, "series": [best_full + 0.1],
+             "best": best_full + 0.1, "last5": best_full + 0.1}],
             "summary": {}}
 
     p1, p2 = tmp_path / "s1.json", tmp_path / "s2.json"
@@ -198,13 +200,14 @@ def test_contrast_ablation_merge(tmp_path):
     p2.write_text(json.dumps(fake(2, 0.4, 0.2)))
     out = tmp_path / "merged.json"
     rep = main(["--merge", str(p1), str(p2), "--out", str(out)])
-    assert len(rep["runs"]) == 4
+    assert len(rep["runs"]) == 6
     assert rep["summary"]["full"]["n"] == 2
     np.testing.assert_allclose(rep["summary"]["full"]["best_mean"], 0.45)
     np.testing.assert_allclose(rep["summary"]["nocontrast"]["best_mean"], 0.25)
     # runs come back seed-major, arm order matching the grid definition
     assert [(r["arm"], r["seed"]) for r in rep["runs"]] == [
-        ("full", 1), ("nocontrast", 1), ("full", 2), ("nocontrast", 2)]
+        ("full", 1), ("nocontrast", 1), ("staggered", 1),
+        ("full", 2), ("nocontrast", 2), ("staggered", 2)]
     assert json.loads(out.read_text())["summary"] == rep["summary"]
     # seed-matched paired deltas vs the warmup-only baseline (arms at one
     # seed share data + init, so this cancels breakthrough-timing variance)
@@ -217,6 +220,13 @@ def test_contrast_ablation_merge(tmp_path):
     # (++, +-, -+, --) give |mean| (0.2, 0, 0, 0.2); 2 of 4 >= observed
     np.testing.assert_allclose(pd["best_perm_p"], 0.5)
     np.testing.assert_allclose(pd["last5_perm_p"], 0.5)
+    # staggered pairs against BOTH baselines: nocontrast (does the arm beat
+    # no contrast at all) and full (does staggering beat the shipped
+    # composition — the r4 interaction hypothesis)
+    np.testing.assert_allclose(
+        rep["paired"]["staggered-nocontrast"]["best_delta"], [0.3, 0.3])
+    np.testing.assert_allclose(
+        rep["paired"]["staggered-full"]["best_delta"], [0.1, 0.1])
 
     # duplicate (arm, seed) pairs across reports are a hard error
     import pytest as _pytest
