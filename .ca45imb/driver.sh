@@ -1,8 +1,9 @@
 #!/bin/bash
-# Imbalanced hard-task contrast campaign (PERF.md "r4 imbalanced hard task").
-# One (arm, seed) per python process (axon transfer leak, CLAUDE.md), one
-# TPU job at a time, artifact written DIRECTLY into the repo so a VM
-# restart resumes instead of recomputing (the r4 /tmp wipe lesson).
+# Imbalanced hard-task contrast campaign, round-5 queue (VERDICT r4 next
+# #1-#2). One (arm, seed) per python process (axon transfer leak,
+# CLAUDE.md), one TPU job at a time, artifact written DIRECTLY into the
+# repo so a VM restart resumes instead of recomputing (the r4 /tmp wipe
+# lesson).
 # Usage: bash .ca45imb/driver.sh   (from /root/repo; safe to re-run)
 set -u
 cd /root/repo
@@ -10,20 +11,32 @@ OUT=/root/repo/.ca45imb
 mkdir -p "$OUT" /tmp/ca45imb
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache
 
-# paired order: each completed seed adds a (nocontrast, full) delta even if
-# the session ends mid-campaign; secondary arms follow.
+# Priority order (VERDICT r4): finish the primary paired verdict first
+# (nocontrast/full seeds 3-5, interleaved so every completed seed adds a
+# paired delta), then the staggered interaction-hypothesis arm, then the
+# balanced grid's two positive arms. Seeds 1-2 of nocontrast/full are done
+# (artifacts present -> skipped).
 RUNS=""
-for s in 2 3 4 5; do RUNS="$RUNS nocontrast:$s full:$s"; done
+for s in 3 4 5; do RUNS="$RUNS nocontrast:$s full:$s"; done
+for s in 1 2 3 4 5; do RUNS="$RUNS staggered:$s"; done
 for s in 1 2 3 4 5; do RUNS="$RUNS noproto:$s"; done
 for s in 1 2 3 4 5; do RUNS="$RUNS noentropy:$s"; done
 
 for r in $RUNS; do
   arm=${r%%:*}; seed=${r##*:}
   art="$OUT/${arm}_s${seed}.json"
-  if [ -s "$art" ]; then
-    echo "[driver] skip ${arm}_s${seed} (artifact exists)"; continue
+  # skip only artifacts that parse as JSON (ADVICE r4: a non-empty but
+  # truncated file must be re-run, not skipped forever). _write publishes
+  # atomically now, but artifacts from older code may predate that.
+  if python -c "import json,sys; json.load(open(sys.argv[1]))" "$art" \
+      2>/dev/null; then
+    echo "[driver] skip ${arm}_s${seed} (artifact valid)"; continue
   fi
   echo "[driver] $(date +%T) start ${arm}_s${seed}"
+  # per-attempt log (ADVICE r4): a retry must not truncate the previous
+  # failure's epoch-mIoU lines — those rebuild a killed run's entry.
+  log="$OUT/${arm}_s${seed}.log"
+  if [ -e "$log" ]; then mv "$log" "$log.prev.$(date +%s)"; fi
   python -m coarse3d_tpu.tools.contrast_ablation \
     --arms "$arm" --seeds "$seed" \
     --epochs 45 --scans 64 --points 120000 --classes 8 \
@@ -31,13 +44,15 @@ for r in $RUNS; do
     --imbalance 16 --num_workers 2 \
     --work /tmp/ca45imb --out "$art" \
     --set contrast.proto_momentum=0.9 \
-    > "$OUT/${arm}_s${seed}.log" 2>&1
+    > "$log" 2>&1
   rc=$?
   echo "[driver] $(date +%T) done ${arm}_s${seed} rc=$rc"
   if [ $rc -ne 0 ]; then
-    # keep the log (epoch lines rebuild the entry); do not retry in-loop —
-    # a wedged tunnel needs the grant to expire before the next job.
-    echo "[driver] ${arm}_s${seed} FAILED (log kept); continuing"
+    # ADVICE r4: after a failure the tunnel may be wedged; launching the
+    # next job immediately risks a 15-20 min hang or another wedge. Back
+    # off long enough for the grant to expire before continuing.
+    echo "[driver] ${arm}_s${seed} FAILED (log kept); backing off 180s"
+    sleep 180
   fi
 done
 echo "[driver] campaign complete $(date +%T)"

@@ -360,8 +360,13 @@ def _write(args, runs, source_configs=None, config=None):
     out_dir = os.path.dirname(args.out)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    with open(args.out, "w") as f:
+    # atomic publish: a crash (OOM kill, VM restart) mid-dump must not leave
+    # a truncated-but-non-empty artifact that a resumable driver's existence
+    # check would skip forever and a later --merge would crash on
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(report, f, indent=2)
+    os.replace(tmp, args.out)
     return report
 
 
