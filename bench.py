@@ -160,7 +160,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train", action="store_true",
                    help="benchmark the training step instead of inference")
-    p.add_argument("--stem", default="parity", choices=("parity", "s2d"))
+    p.add_argument("--stem", default="parity",
+                   choices=("parity", "s2d", "s2d_w"))
     p.add_argument("--batch", type=int, default=4,
                    help="per-chip train batch (reference recipe: 4)")
     p.add_argument("--out", default=None, metavar="PATH",

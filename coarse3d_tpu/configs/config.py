@@ -151,8 +151,11 @@ class ModelConfig:
     # "parity" = the reference architecture; "s2d" = TPU-native
     # space-to-depth stem (salsanext only): the network runs at half
     # resolution on 4x-stacked pixels and predicts 2x2 logits per coarse
-    # pixel via pixel-shuffle. NOT weight-compatible with the reference —
-    # opt-in for throughput (PERF.md "space-to-depth stem" table).
+    # pixel via pixel-shuffle; "s2d_w" = width-only 1x2 variant (full row
+    # resolution, half width) — the middle ground for texture-carried
+    # tasks where the 2x2 stem measurably costs accuracy. NOT
+    # weight-compatible with the reference — opt-in for throughput
+    # (PERF.md "space-to-depth stem" table).
     stem: str = "parity"
 
 

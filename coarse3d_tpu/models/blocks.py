@@ -20,9 +20,13 @@ from einops import rearrange
 Dtype = Any
 
 
-def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
-    """(B, H, W, C*r*r) -> (B, H*r, W*r, C), torch PixelShuffle channel order."""
-    return rearrange(x, "b h w (c i j) -> b (h i) (w j) c", i=r, j=r)
+def pixel_shuffle(x: jnp.ndarray, r: int = 2, rw: int | None = None
+                  ) -> jnp.ndarray:
+    """(B, H, W, C*r*rw) -> (B, H*r, W*rw, C), torch PixelShuffle channel
+    order. `rw` defaults to `r` (square shuffle); a rectangular (r, rw)
+    supports the width-only s2d stem (salsanext.py)."""
+    return rearrange(x, "b h w (c i j) -> b (h i) (w j) c", i=r,
+                     j=r if rw is None else rw)
 
 
 class ConvActBN(nn.Module):

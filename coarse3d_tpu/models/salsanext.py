@@ -51,11 +51,14 @@ class SalsaNext(nn.Module):
     # salsanext_proto.py:308-309,444-447): encoder only -> 1000-way logits.
     classification: bool = False
     # TPU-native space-to-depth stem (NOT reference-weight-compatible):
-    # 2x2 pixel blocks stack into channels so the whole network runs at
-    # half resolution; logits come back via pixel-shuffle. Raises MXU
+    # (i, j) pixel blocks stack into channels so the whole network runs at
+    # reduced resolution; logits come back via pixel-shuffle. Raises MXU
     # occupancy of the thin-channel full-res stages (PERF.md: the parity
-    # model is HBM-bound at ~6% MXU) at ~4x lower activation bandwidth.
-    s2d_stem: bool = False
+    # model is HBM-bound at ~6% MXU) at i*j-times lower activation
+    # bandwidth. (1, 1) = parity stem; (2, 2) = the r2 "s2d" stem (-12.3 pt
+    # on texture-carried tasks, PERF.md); (1, 2) = width-only middle ground
+    # that halves activation traffic while keeping full H resolution.
+    s2d_factors: tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -67,10 +70,11 @@ class SalsaNext(nn.Module):
         if self.pad_hw:
             x = jnp.pad(
                 x, ((0, 0), (0, self.pad_hw), (0, self.pad_hw), (0, 0)))
-        if self.s2d_stem:
+        fi, fj = self.s2d_factors
+        if fi * fj > 1:
             from einops import rearrange
 
-            x = rearrange(x, "b (h i) (w j) c -> b h w (c i j)", i=2, j=2)
+            x = rearrange(x, "b (h i) (w j) c -> b h w (c i j)", i=fi, j=fj)
         h, w = x.shape[1], x.shape[2]
         assert h % 16 == 0 and w % 16 == 0, f"H,W must divide 16, got {h}x{w}"
 
@@ -98,13 +102,14 @@ class SalsaNext(nn.Module):
         u2 = UpBlock(2 * bc, drop, dtype=self.dtype)(u3, d1b, train)
         u1 = UpBlock(bc, drop, drop_out=False, dtype=self.dtype)(u2, d0b, train)
 
-        if self.s2d_stem:
-            # 2x2 logits per coarse pixel, unshuffled to full resolution
+        if fi * fj > 1:
+            # fi x fj logits per coarse pixel, unshuffled to full resolution
             from coarse3d_tpu.models.blocks import pixel_shuffle
 
-            logits = nn.Conv(4 * self.n_classes, (1, 1), dtype=jnp.float32,
+            logits = nn.Conv(fi * fj * self.n_classes, (1, 1),
+                             dtype=jnp.float32,
                              name="cls_head_s2d")(u1.astype(jnp.float32))
-            logits = pixel_shuffle(logits, 2)
+            logits = pixel_shuffle(logits, fi, fj)
         else:
             logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32,
                              name="cls_head")(u1.astype(jnp.float32))
@@ -128,9 +133,9 @@ class SalsaNext(nn.Module):
             emb = ProjectionHead(self.proj_dim, name="projector")(mix, train)
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-            # back to input resolution (2h, 2w when the s2d stem halved it)
-            emb = resize_bilinear(emb, (2 * h) if self.s2d_stem else h,
-                                  (2 * w) if self.s2d_stem else w)
+            # back to input resolution (fi*h, fj*w when an s2d stem
+            # reduced it)
+            emb = resize_bilinear(emb, fi * h, fj * w)
             if self.pad_hw:
                 emb = emb[:, :h0, :w0, :]
             out["embedding"] = emb

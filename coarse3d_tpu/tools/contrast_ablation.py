@@ -55,6 +55,11 @@ ARMS = {
     # config's accuracy question (PERF.md "space-to-depth stem") is settled
     # by the same grid instead of a separate synthetic-easy protocol
     "s2d": ["model.stem=s2d"],
+    # width-only 1x2 space-to-depth (full H, half W): the untested middle
+    # ground after the 2x2 stem measured -12.3 pt on this texture-carried
+    # task (PERF.md "r4 ablation phase 2") — keeps the row resolution the
+    # stripes live in while still halving HBM activation traffic.
+    "s2d_w": ["model.stem=s2d_w"],
     # staggered composition (tests the r4 balanced-grid interaction
     # hypothesis): prototype EMA forms on clean weak-only anchors for 20
     # epochs after contrast_warmup, THEN entropy selection joins — if the
@@ -301,7 +306,7 @@ def _write(args, runs, source_configs=None, config=None):
     # also pair against `full` — their promotion questions are relative to
     # the shipped composition ("does s2d cost accuracy vs parity stem";
     # "does staggering the selection beat activating both at once")
-    vs_full = [a for a in ("s2d", "staggered") if a in arms_present]
+    vs_full = [a for a in ("s2d", "s2d_w", "staggered") if a in arms_present]
     baselines = ["nocontrast"] + (["full"] if vs_full else [])
     for base_arm in baselines:
         base = {r["seed"]: r for r in runs if r["arm"] == base_arm}

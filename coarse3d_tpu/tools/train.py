@@ -65,9 +65,10 @@ def main(argv=None):
                    help="config override, e.g. --set train.lr=0.02 "
                         "--set contrast.loss_w_contrast=0 (values parsed "
                         "as YAML; repeatable)")
-    p.add_argument("--stem", choices=("parity", "s2d"),
-                   help="model stem override: 'parity' (reference-exact) or "
-                        "'s2d' (TPU space-to-depth, PERF.md)")
+    p.add_argument("--stem", choices=("parity", "s2d", "s2d_w"),
+                   help="model stem override: 'parity' (reference-exact), "
+                        "'s2d' (TPU 2x2 space-to-depth) or 's2d_w' "
+                        "(width-only 1x2 — full row resolution; PERF.md)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize the JAX distributed runtime (multi-host "
                         "pods; coordinator from env, see jax.distributed)")

@@ -30,18 +30,28 @@ def build_model(cfg: ExperimentConfig):
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
     if cfg.model.net_type == "salsanext":
-        s2d = cfg.model.stem == "s2d"
-        if s2d:
+        # "s2d" stacks 2x2 pixels into channels (network at half H, half W);
+        # "s2d_w" stacks 1x2 (full H, half W) — halves activation traffic
+        # while keeping the row resolution texture-carried tasks need
+        # (PERF.md "space-to-depth stem": the 2x2 stem costs -12.3 pt there).
+        factors = {"parity": (1, 1), "s2d": (2, 2), "s2d_w": (1, 2)}
+        if cfg.model.stem not in factors:
+            raise ValueError(f"unknown model.stem: {cfg.model.stem!r} "
+                             f"(choose from {sorted(factors)})")
+        fi, fj = factors[cfg.model.stem]
+        if fi * fj > 1:
             h = cfg.sensor.proj_h + (8 if poss else 0)
             w = cfg.sensor.proj_w + (8 if poss else 0)
-            if h % 32 or w % 32:
+            if h % (16 * fi) or w % (16 * fj):
                 raise ValueError(
-                    f"stem='s2d' runs the network at half resolution, so "
-                    f"H and W (after any POSS padding) must divide 32; got "
-                    f"{h}x{w} for dataset={cfg.data.dataset}. Use the "
-                    f"parity stem for this sensor geometry.")
+                    f"stem='{cfg.model.stem}' runs the network at 1/{fi} x "
+                    f"1/{fj} resolution, so H and W (after any POSS padding) "
+                    f"must divide {16 * fi} and {16 * fj}; got {h}x{w} for "
+                    f"dataset={cfg.data.dataset}. Use the parity stem for "
+                    f"this sensor geometry.")
         # POSS pads H and W by +8 (salsanext_proto.py:426-431)
-        return SalsaNext(pad_hw=8 if poss else 0, s2d_stem=s2d, **kwargs)
+        return SalsaNext(pad_hw=8 if poss else 0, s2d_factors=(fi, fj),
+                         **kwargs)
     if cfg.model.net_type == "rangenet":
         from coarse3d_tpu.models.rangenet import RangeNet
 

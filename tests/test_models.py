@@ -142,7 +142,7 @@ def test_s2d_stem_variant():
                                        compute_dtype="float32"),
         sensor=dataclasses.replace(cfg.sensor, proj_h=32, proj_w=64))
     model = build_model(cfg)
-    assert model.s2d_stem
+    assert model.s2d_factors == (2, 2)
     # incompatible geometries fail fast at build time with a clear error
     bad = dataclasses.replace(
         cfg, sensor=dataclasses.replace(cfg.sensor, proj_h=16))
@@ -161,3 +161,46 @@ def test_s2d_stem_variant():
     params = variables["params"]
     first_kernel = params["ResContextBlock_0"]["Conv_0"]["kernel"]
     assert first_kernel.shape[2] == 20  # 5ch x 2x2
+
+
+def test_s2d_w_stem_variant():
+    """Width-only 1x2 space-to-depth (ModelConfig.stem='s2d_w'): full row
+    resolution, half width — the middle ground after the 2x2 stem measured
+    -12.3 pt on texture-carried tasks (PERF.md). Same output contract as
+    the parity model."""
+    import dataclasses
+
+    from coarse3d_tpu.configs import preset
+    from coarse3d_tpu.train.setup import build_model
+
+    cfg = preset("tiny")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem="s2d_w",
+                                       compute_dtype="float32"),
+        sensor=dataclasses.replace(cfg.sensor, proj_h=16, proj_w=64))
+    model = build_model(cfg)
+    assert model.s2d_factors == (1, 2)
+    # H must divide 16 (unchanged) but W must divide 32 — and an unknown
+    # stem string fails fast
+    bad = dataclasses.replace(
+        cfg, sensor=dataclasses.replace(cfg.sensor, proj_w=48))
+    with pytest.raises(ValueError, match="s2d_w"):
+        build_model(bad)
+    with pytest.raises(ValueError, match="unknown model.stem"):
+        build_model(dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, stem="bogus")))
+    x = jnp.ones((2, 16, 64, 5), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False,
+                           return_feat=True)
+    out = model.apply(variables, x, train=False, return_feat=True)
+    assert out["probs"].shape == (2, 16, 64, cfg.data.n_classes)
+    assert out["embedding"].shape == (2, 16, 64, cfg.contrast.proj_dim)
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]).sum(-1), 1.0, rtol=1e-5)
+    # first conv sees the (16, 32, 10) width-stacked grid: 5ch x 1x2
+    params = variables["params"]
+    first_kernel = params["ResContextBlock_0"]["Conv_0"]["kernel"]
+    assert first_kernel.shape[2] == 10
+    # the head predicts 1x2 logits per coarse pixel before pixel-shuffle
+    head_kernel = params["cls_head_s2d"]["kernel"]
+    assert head_kernel.shape[3] == 2 * cfg.data.n_classes
