@@ -88,7 +88,10 @@ def main_train(stem: str = "parity", batch: int = 4,
             f.write(row + "\n")
 
 
-def main(out: str | None = None, distribution: str = "uniform") -> None:
+def main(out: str | None = None, distribution: str = "uniform",
+         stem: str = "parity") -> None:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +101,8 @@ def main(out: str | None = None, distribution: str = "uniform") -> None:
     from coarse3d_tpu.train.setup import build_model
 
     cfg = preset("kitti")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem=stem))
     model = build_model(cfg)
 
     rng = np.random.default_rng(0)
@@ -144,6 +149,8 @@ def main(out: str | None = None, distribution: str = "uniform") -> None:
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
     }
+    if stem != "parity":
+        fields["metric"] += f" ({stem} stem)"
     if distribution != "uniform":
         fields["metric"] += f" ({distribution} occupancy)"
         fields["pixel_loser_rate"] = round(float(np.mean(loser_rates)), 4)
@@ -178,4 +185,4 @@ if __name__ == "__main__":
     if args.train:
         main_train(stem=args.stem, batch=args.batch, out=args.out)
     else:
-        main(out=args.out, distribution=args.distribution)
+        main(out=args.out, distribution=args.distribution, stem=args.stem)
