@@ -1,21 +1,22 @@
 #!/bin/bash
 # Imbalanced hard-task contrast campaign, round-5 queue (VERDICT r4 next
-# #1-#2). One (arm, seed) per python process (axon transfer leak,
+# #1-#3). One (arm, seed) per python process (axon transfer leak,
 # CLAUDE.md), one TPU job at a time, artifact written DIRECTLY into the
 # repo so a VM restart resumes instead of recomputing (the r4 /tmp wipe
 # lesson).
-# Usage: bash .ca45imb/driver.sh   (from /root/repo; safe to re-run)
+# Usage: bash campaigns/imbalanced/driver.sh   (from /root/repo; safe to
+# re-run — completed artifacts are skipped.)
 set -u
 cd /root/repo
-OUT=/root/repo/.ca45imb
+OUT=/root/repo/campaigns/imbalanced
 mkdir -p "$OUT" /tmp/ca45imb
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache
 
 # Priority order (VERDICT r4): finish the primary paired verdict first
-# (nocontrast/full seeds 3-5, interleaved so every completed seed adds a
+# (nocontrast/full seeds 4-5, interleaved so every completed seed adds a
 # paired delta), then the staggered interaction-hypothesis arm, then the
-# balanced grid's two positive arms. Seeds 1-2 of nocontrast/full are done
-# (artifacts present -> skipped).
+# single-ablation arms that settle the shipped defaults. Seeds 1-3 of
+# nocontrast/full are done (artifacts present -> skipped).
 RUNS=""
 for s in 3 4 5; do RUNS="$RUNS nocontrast:$s full:$s"; done
 for s in 1 2 3 4 5; do RUNS="$RUNS staggered:$s"; done
