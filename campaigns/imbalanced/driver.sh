@@ -24,6 +24,12 @@ for s in 1 2 3 4 5; do RUNS="$RUNS noproto:$s"; done
 for s in 1 2 3 4 5; do RUNS="$RUNS noentropy:$s"; done
 
 for r in $RUNS; do
+  # graceful stop between runs (never kill a TPU job mid-flight — the
+  # tunnel wedges, CLAUDE.md): `touch campaigns/STOP` finishes the current
+  # run and exits the queue.
+  if [ -e /root/repo/campaigns/STOP ]; then
+    echo "[driver] STOP file present — exiting before ${r}"; exit 0
+  fi
   arm=${r%%:*}; seed=${r##*:}
   art="$OUT/${arm}_s${seed}.json"
   # skip only artifacts that parse as JSON (ADVICE r4: a non-empty but

@@ -33,9 +33,15 @@ EOF
   echo "[r05] s2dw bench rc=$?"
 fi
 
+if [ -e /root/repo/campaigns/STOP ]; then
+  echo "[r05] STOP file present — exiting before stage 2"; exit 0
+fi
 echo "[r05] $(date +%T) stage 2: imbalanced campaign"
 bash campaigns/imbalanced/driver.sh
 
+if [ -e /root/repo/campaigns/STOP ]; then
+  echo "[r05] STOP file present — exiting before stage 3"; exit 0
+fi
 echo "[r05] $(date +%T) stage 3: s2d_w accuracy seeds"
 bash campaigns/s2dw/driver.sh
 

@@ -33,6 +33,10 @@ fi
 
 # 2) accuracy: 5 paired seeds on the balanced hard task
 for seed in 1 2 3 4 5; do
+  # graceful stop between runs (never kill a TPU job mid-flight; CLAUDE.md)
+  if [ -e /root/repo/campaigns/STOP ]; then
+    echo "[s2dw] STOP file present — exiting before seed $seed"; exit 0
+  fi
   art="$OUT/s2d_w_s${seed}.json"
   if python -c "import json,sys; json.load(open(sys.argv[1]))" "$art" \
       2>/dev/null; then
