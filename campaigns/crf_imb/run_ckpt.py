@@ -34,6 +34,10 @@ def main():
                    help="campaign work root holding the run dirs")
     p.add_argument("--out_dir", default="/root/repo/campaigns/crf_imb")
     p.add_argument("--crf_epochs", type=int, default=10)
+    p.add_argument("--class_balance", action="store_true",
+                   help="fit the kernel with inverse-frequency class "
+                        "weights (train_crf --class_balance); artifacts "
+                        "get a _cb suffix")
     args = p.parse_args()
 
     import jax
@@ -46,7 +50,8 @@ def main():
     run_dir = os.path.join(args.work, f"{args.arm}_s{args.seed}")
     assert os.path.isdir(os.path.join(run_dir, "checkpoint")), run_dir
     os.makedirs(args.out_dir, exist_ok=True)
-    out = os.path.join(args.out_dir, f"{args.arm}_s{args.seed}.json")
+    tag = f"{args.arm}_s{args.seed}" + ("_cb" if args.class_balance else "")
+    out = os.path.join(args.out_dir, f"{tag}.json")
 
     cls_counts = "[0" + ",100" * (N_CLASSES - 1) + "]"
     overrides = [f"data.n_classes={N_CLASSES}",
@@ -57,7 +62,7 @@ def main():
 
     # 1) fit the compatibility kernel on the run's own 64-scan TRAIN
     #    catalog (weak labels are the only legitimate supervision)
-    kernel = os.path.join(args.out_dir, f"{args.arm}_s{args.seed}_kernel.npz")
+    kernel = os.path.join(args.out_dir, f"{tag}_kernel.npz")
     crf_common = [
         "--run_dir", run_dir, "--ckpt", "latest",
         "--synthetic_task", "hard",
@@ -71,7 +76,8 @@ def main():
     fit = crf_main(crf_common + [
         "--synthetic", "64", "--synthetic_seed", str(args.seed),
         "--weak", str(TASK["weak"]),
-        "--epochs", str(args.crf_epochs), "--out", kernel])
+        "--epochs", str(args.crf_epochs), "--out", kernel]
+        + (["--class_balance"] if args.class_balance else []))
 
     # 2) score the held-out catalog (seed+1000, 16 scans — the campaign's
     #    val split) under the four post-processing configurations
@@ -99,6 +105,7 @@ def main():
               f"mIoU {s['mIoU_3D']:.4f}", flush=True)
 
     report = {"arm": args.arm, "seed": args.seed, "run_dir": run_dir,
+              "class_balance": args.class_balance,
               "task": TASK, "crf_fit_history": fit["history"],
               "results": results,
               "delta_vs_raw": {

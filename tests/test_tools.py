@@ -646,3 +646,17 @@ def test_train_crf_kernel_seam(tmp_path):
         "--run_dir", str(save), "--crf", "--crf_kernel", str(out),
         "--batch_size", "2"])
     assert summary["crf"] and 0.0 <= summary["mIoU_3D"] <= 1.0
+
+    # --class_balance: inverse-frequency weighting of the weak-CE fit (the
+    # imbalanced-task mitigation, campaigns/crf_imb) — same contract: the
+    # objective must not increase and the kernel must move off the init
+    out_cb = tmp_path / "crf_kernel_cb.npz"
+    res_cb = crf_main(["--run_dir", str(save), "--ckpt", "latest",
+                       "--preset", "tiny", "--synthetic", "2",
+                       "--synthetic_task", "bands",
+                       "--synthetic_points", "500",
+                       "--weak", "0.01", "--num_workers", "1",
+                       "--batch_size", "2", "--epochs", "3", "--lr", "0.05",
+                       "--class_balance", "--out", str(out_cb)])
+    assert res_cb["history"][-1] <= res_cb["history"][0] + 1e-6
+    assert np.abs(np.load(out_cb)["kernel"] - init).max() > 1e-4
