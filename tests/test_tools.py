@@ -608,6 +608,20 @@ def test_contrast_ablation_merge_exempt(tmp_path):
     assert rep["summary"]["full"]["best_median"] == 0.3
     pair = rep["paired"]["full-nocontrast"]
     assert pair["best_delta_median"] == pytest.approx(0.1)
+    # escape-timing diagnostics (the optimization-cliff confound): both
+    # series cross ESCAPE_MIOU=0.15 at epoch 1 -> paired delta 0
+    assert rep["summary"]["full"]["escape_epochs"] == [1]
+    assert rep["summary"]["full"]["escape_median"] == 1
+    assert pair["escape_delta"] == [0]
+    # a never-escaping run records None and drops out of paired deltas
+    run3 = dict(run, arm="noproto", series=[0.05, 0.1], best=0.1)
+    p3 = tmp_path / "p3.json"
+    p3.write_text(_json.dumps({"config": base_cfg, "runs": [run3]}))
+    rep2 = abl_main(["--merge", str(p1), str(p2), str(p3),
+                     "--merge_exempt", "set"] + argv_tail)
+    assert rep2["summary"]["noproto"]["escape_epochs"] == [None]
+    assert rep2["summary"]["noproto"]["escape_median"] is None
+    assert rep2["paired"]["noproto-nocontrast"]["escape_delta"] == [None]
     assert (pair["best_wins"], pair["best_losses"]) == (1, 0)
 
 
